@@ -1,0 +1,122 @@
+"""File readers for the optical-flow datasets (host-side, numpy).
+
+Mirrors reference datasets/common.py:10-42 semantics, HWC numpy outputs
+(the framework is NHWC end-to-end; no CHW transpose ever happens).
+"""
+
+import struct
+import zlib
+
+import numpy as np
+from PIL import Image
+
+FLO_MAGIC = 202021.25
+
+
+def read_flo(filename) -> np.ndarray:
+    """Middlebury .flo reader -> (H, W, 2) float32 (common.py:19-27)."""
+    with open(filename, "rb") as f:
+        magic = np.fromfile(f, np.float32, count=1)
+        assert magic.size == 1 and magic[0] == np.float32(FLO_MAGIC), \
+            "Magic number incorrect. Invalid .flo file"
+        w = int(np.fromfile(f, np.int32, count=1)[0])
+        h = int(np.fromfile(f, np.int32, count=1)[0])
+        data = np.fromfile(f, np.float32, count=2 * h * w)
+    return np.resize(data, (h, w, 2))
+
+
+def read_image_as_byte(filename) -> np.ndarray:
+    """uint8 HWC (or HW for grayscale)."""
+    return np.asarray(Image.open(filename))
+
+
+def read_image_as_float32(filename) -> np.ndarray:
+    return np.asarray(Image.open(filename)).astype(np.float32) / np.float32(255.0)
+
+
+def read_occ_image_as_float32(filename) -> np.ndarray:
+    """(H, W, 1) float32 in [0,1]; multi-channel inputs use channel 0
+    (common.py:30-34)."""
+    occ = np.asarray(Image.open(filename)).astype(np.float32) / np.float32(255.0)
+    if occ.ndim == 3:
+        occ = occ[:, :, 0]
+    return occ[:, :, None]
+
+
+def read_png16_rgb(filename) -> np.ndarray:
+    """Read a 16-bit RGB PNG -> (H, W, 3) uint16.
+
+    PIL/imageio truncate 16-bit RGB to 8 bits, so KITTI flow PNGs need a
+    real decoder. Minimal, handles all 5 PNG row filters; non-interlaced.
+    """
+    with open(filename, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", filename
+    pos = 8
+    idat = []
+    w = h = bitdepth = colortype = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bitdepth, colortype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            assert bitdepth == 16 and colortype == 2 and interlace == 0, \
+                f"unsupported PNG variant {bitdepth}/{colortype} in {filename}"
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(b"".join(idat))
+    bpp = 6  # 3 channels x 2 bytes
+    stride = w * bpp
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    off = 0
+    for y in range(h):
+        ftype = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
+        off += 1 + stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub: cumulative over columns grouped by x % bpp
+            g = line.reshape(w, bpp)
+            cur = np.cumsum(g, axis=0, dtype=np.int64).astype(np.int32).reshape(-1) & 0xFF
+        else:  # Average (3) / Paeth (4): sequential left dependency
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 3:
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, 3, 2)
+    return (img[..., 0].astype(np.uint16) << 8) | img[..., 1].astype(np.uint16)
+
+
+def read_png16_flow(filename):
+    """KITTI 16-bit PNG flow -> ((H, W, 2) float32, (H, W, 1) valid mask).
+
+    Decode (v - 2^15) / 64 with the third channel as validity
+    (kitti_combined.py:19-34).
+    """
+    img = read_png16_rgb(filename)
+    flow = (img[:, :, :2].astype(np.float64) - 2 ** 15) / 64.0
+    valid = (img[:, :, 2:3] > 0).astype(np.float32)
+    return (flow * valid).astype(np.float32), valid
+
+
+def ensure_hwc1(x: np.ndarray) -> np.ndarray:
+    if x.ndim == 2:
+        return x[:, :, None]
+    return x

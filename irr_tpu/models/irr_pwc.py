@@ -1,0 +1,188 @@
+"""IRR-PWC — the paper's full model (reference models/IRR_PWC.py:14-184).
+
+Structure per pyramid level l<=4 (shared weights across all levels):
+warp both directions -> bidirectional cost volumes -> shared dense flow
+estimator (+context net, residual) -> shared occ estimator (+context) ->
+RefineFlow on detached flow with image-warp error -> RefineOcc on detached
+occ with feature-warp error. Levels 5-6: bilinear flow upsample +
+OccUpsampleNetwork with warped-image/flow guidance.
+
+TPU-first restructuring (math identical, verified in tests): the forward
+and backward directions are STACKED along the batch axis and the entire
+level body runs once on batch 2B. The reference runs every submodule twice
+(IRR_PWC.py:90-91,108-109,...); stacking doubles the effective matmul batch
+feeding the MXU and halves dispatch overhead. Direction pairing is realized
+by `_swap` (exchanging the two halves), e.g. warping the swapped feature
+stack by the flow stack yields [warp(x2, flow_f); warp(x1, flow_b)].
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.core import Module, Conv, leaky_relu
+from ..nn.pwc import (FeatureExtractor, FlowEstimatorDense, OccEstimatorDense,
+                      ContextNetwork, OccContextNetwork)
+from ..nn.irr import OccUpsampleNetwork, RefineFlow, RefineOcc
+from ..ops.cost_volume import cost_volume
+from ..ops.warp import warp_masked
+from ..ops.resize import upsample2d_as, rescale_flow
+
+NUM_CHS = [3, 16, 32, 64, 96, 128, 196]
+SEARCH_RANGE = 4
+DIM_CORR = (SEARCH_RANGE * 2 + 1) ** 2
+OUTPUT_LEVEL = 4
+NUM_LEVELS = 7
+
+
+def _swap(x):
+    b = x.shape[0] // 2
+    return jnp.concatenate([x[b:], x[:b]], axis=0)
+
+
+class IRR_PWC(Module):
+    """ctor mirrors the reference contract: (args, div_flow=0.05)."""
+
+    def __init__(self, args=None, div_flow=0.05):
+        self.args = args
+        self.div_flow = float(div_flow)
+
+        self.extractor = FeatureExtractor(NUM_CHS)
+        ch_in_flo = DIM_CORR + 32 + 2
+        ch_in_occ = DIM_CORR + 32 + 1
+        self.flow_estimators = FlowEstimatorDense(ch_in_flo)
+        self.context_networks = ContextNetwork(ch_in_flo + 448 + 2)
+        self.occ_estimators = OccEstimatorDense(ch_in_occ)
+        self.occ_context_networks = OccContextNetwork(ch_in_occ + 448 + 1)
+        self.occ_shuffle_upsample = OccUpsampleNetwork(11, 1)
+        # 4 entries; at l == output_level x1 already has 32 channels
+        # (IRR_PWC.py:38-41,97-102)
+        self.conv_1x1 = [Conv(c, 32, kernel_size=1) for c in (196, 128, 96, 64)]
+        self.conv_1x1_1 = Conv(16, 3, kernel_size=1)
+        self.refine_flow = RefineFlow(2 + 1 + 32)
+        self.refine_occ = RefineOcc(1 + 32 + 32)
+
+    def init(self, key):
+        return {
+            "feature_pyramid_extractor": self.extractor.init(jax.random.fold_in(key, 0)),
+            "flow_estimators": self.flow_estimators.init(jax.random.fold_in(key, 1)),
+            "context_networks": self.context_networks.init(jax.random.fold_in(key, 2)),
+            "occ_estimators": self.occ_estimators.init(jax.random.fold_in(key, 3)),
+            "occ_context_networks": self.occ_context_networks.init(jax.random.fold_in(key, 4)),
+            "occ_shuffle_upsample": self.occ_shuffle_upsample.init(jax.random.fold_in(key, 5)),
+            "conv_1x1": [c.init(jax.random.fold_in(key, 10 + i))
+                         for i, c in enumerate(self.conv_1x1)],
+            "conv_1x1_1": self.conv_1x1_1.init(jax.random.fold_in(key, 6)),
+            "refine_flow": self.refine_flow.init(jax.random.fold_in(key, 7)),
+            "refine_occ": self.refine_occ.init(jax.random.fold_in(key, 8)),
+        }
+
+    def __call__(self, params, input_dict, training=False):
+        return self.apply(params, input_dict, training)
+
+    def apply(self, params, input_dict, training=False):
+        x1_raw = input_dict["input1"]
+        x2_raw = input_dict["input2"]
+        b, height_im, width_im, _ = x1_raw.shape
+        dvf = self.div_flow
+
+        # Stacked siamese pyramid: P[l] = [x1_l ; x2_l] on batch axis.
+        raw = jnp.concatenate([x1_raw, x2_raw], axis=0)
+        pyr = self.extractor(params["feature_pyramid_extractor"], raw)
+        pyr = pyr + [raw]
+
+        flows, occs = [], []
+        b2, h0, w0, _ = pyr[0].shape
+        flow = jnp.zeros((b2, h0, w0, 2), jnp.float32)   # [flow_f ; flow_b]
+        occ = jnp.zeros((b2, h0, w0, 1), jnp.float32)    # [occ_f ; occ_b]
+
+        def unstack(t):
+            return t[:b], t[b:]
+
+        for l in range(NUM_LEVELS):
+            x = pyr[l]
+            x_sw = _swap(x)
+
+            if l <= OUTPUT_LEVEL:
+                if l == 0:
+                    x_warp = x_sw
+                else:
+                    flow = upsample2d_as(flow, x)
+                    occ = upsample2d_as(occ, x)
+                    x_warp = warp_masked(x_sw, flow, height_im, width_im, dvf)
+
+                corr = leaky_relu(cost_volume(x, x_warp, SEARCH_RANGE))
+
+                if l != OUTPUT_LEVEL:
+                    x_1by1 = self.conv_1x1[l](params["conv_1x1"][l], x)
+                else:
+                    x_1by1 = x
+
+                flow = rescale_flow(flow, dvf, width_im, height_im, True)
+
+                x_intm, flow_res = self.flow_estimators(
+                    params["flow_estimators"], jnp.concatenate([corr, x_1by1, flow], -1))
+                flow_est = flow + flow_res
+                flow_cont = flow_est + self.context_networks(
+                    params["context_networks"], jnp.concatenate([x_intm, flow_est], -1))
+
+                x_intm_occ, occ_res = self.occ_estimators(
+                    params["occ_estimators"], jnp.concatenate([corr, x_1by1, occ], -1))
+                occ_est = occ + occ_res
+                occ_cont = occ_est + self.occ_context_networks(
+                    params["occ_context_networks"], jnp.concatenate([x_intm_occ, occ_est], -1))
+
+                # bilateral refinement with warped full-res images
+                # (IRR_PWC.py:126-133); refine consumes level-local flow.
+                img_resize = upsample2d_as(raw, flow)
+                img_warp = warp_masked(
+                    _swap(img_resize),
+                    rescale_flow(flow_cont, dvf, width_im, height_im, False),
+                    height_im, width_im, dvf)
+                flow_ref = self.refine_flow(
+                    params["refine_flow"], jax.lax.stop_gradient(flow_cont),
+                    img_resize - img_warp, x_1by1)
+
+                flow_cont = rescale_flow(flow_cont, dvf, width_im, height_im, False)
+                flow_ref = rescale_flow(flow_ref, dvf, width_im, height_im, False)
+
+                x_1by1_warp = warp_masked(_swap(x_1by1), flow_ref, height_im, width_im, dvf)
+                occ_ref = self.refine_occ(
+                    params["refine_occ"], jax.lax.stop_gradient(occ_cont),
+                    x_1by1, x_1by1 - x_1by1_warp)
+
+                fc_f, fc_b = unstack(flow_cont)
+                fr_f, fr_b = unstack(flow_ref)
+                oc_f, oc_b = unstack(occ_cont)
+                or_f, or_b = unstack(occ_ref)
+                flows.append([fc_f, fc_b, fr_f, fr_b])
+                occs.append([oc_f, oc_b, or_f, or_b])
+                flow = flow_ref
+                occ = occ_ref
+            else:
+                flow = upsample2d_as(flow, x)
+                f_f, f_b = unstack(flow)
+                flows.append([f_f, f_b])
+
+                x_warp = warp_masked(x_sw, flow, height_im, width_im, dvf)
+                flow_warp = warp_masked(_swap(flow), flow, height_im, width_im, dvf)
+
+                if l != NUM_LEVELS - 1:
+                    x_in = self.conv_1x1_1(params["conv_1x1_1"], x)
+                    x_w_in = self.conv_1x1_1(params["conv_1x1_1"], x_warp)
+                else:
+                    x_in = x
+                    x_w_in = x_warp
+
+                guidance = jnp.concatenate([x_in, x_w_in, flow, flow_warp], -1)
+                occ = self.occ_shuffle_upsample(params["occ_shuffle_upsample"], occ, guidance)
+                o_f, o_b = unstack(occ)
+                occs.append([o_f, o_b])
+
+        if training:
+            return {"flow": flows, "occ": occs}
+        flow_f = flow[:b]
+        occ_f = occ[:b]
+        return {
+            "flow": upsample2d_as(flow_f, x1_raw) * (1.0 / dvf),
+            "occ": upsample2d_as(occ_f, x1_raw),
+        }

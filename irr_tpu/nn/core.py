@@ -1,0 +1,174 @@
+"""Minimal functional module system: config objects + pytree params.
+
+Design stance (SURVEY.md §7): pure functions over pytrees instead of
+stateful nn.Modules. A `Module` holds only static configuration; `init(key)`
+returns a params pytree; `__call__(params, x)` is pure and traceable. This
+keeps the full model jittable, donation-friendly, and gives us stable
+param paths for checkpoint filtering.
+
+Conv semantics match torch Conv2d (SAME-via-explicit-pad, floor output size)
+and ConvTranspose2d (expressed as an input-dilated conv). Init matches the
+reference's `initialize_msra` (pwc_modules.py:22-39): Kaiming-normal
+(fan_in, gain sqrt(2)) weights, zero bias.
+
+Mixed precision: `set_compute_dtype(jnp.bfloat16)` makes convs run their
+matmul in bf16 with f32 accumulation (MXU-native), while params and all
+inter-layer tensors stay f32.
+"""
+
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_POLICY = {"compute_dtype": jnp.float32}
+
+
+def set_compute_dtype(dtype):
+    _POLICY["compute_dtype"] = dtype
+
+
+def compute_dtype():
+    return _POLICY["compute_dtype"]
+
+
+def leaky_relu(x, negative_slope=0.1):
+    return jnp.where(x >= 0, x, x * negative_slope)
+
+
+def _kaiming_normal(key, shape, fan_in):
+    std = np.sqrt(2.0 / fan_in)
+    return jax.random.normal(key, shape, jnp.float32) * std
+
+
+class Module:
+    """Base: static config; params are explicit pytrees."""
+
+    def init(self, key):
+        raise NotImplementedError
+
+    def __call__(self, params, *args, **kwargs):
+        raise NotImplementedError
+
+
+class Conv(Module):
+    """Conv2d(+LeakyReLU(0.1)) on NHWC, weights HWIO.
+
+    Mirrors the reference `conv` helper (pwc_modules.py:8-19,
+    flownet_modules.py:9-19): padding defaults to
+    ((k-1)*dilation)//2 so stride-1 convs are shape-preserving.
+    """
+
+    def __init__(self, cin, cout, kernel_size=3, stride=1, dilation=1,
+                 relu=True, pad=None, bias=True):
+        self.cin = cin
+        self.cout = cout
+        self.k = kernel_size
+        self.stride = stride
+        self.dilation = dilation
+        self.relu = relu
+        self.pad = ((kernel_size - 1) * dilation) // 2 if pad is None else pad
+        self.bias = bias
+
+    def init(self, key):
+        w = _kaiming_normal(key, (self.k, self.k, self.cin, self.cout),
+                            fan_in=self.cin * self.k * self.k)
+        p = {"w": w}
+        if self.bias:
+            p["b"] = jnp.zeros((self.cout,), jnp.float32)
+        return p
+
+    def __call__(self, params, x):
+        dt = compute_dtype()
+        y = lax.conv_general_dilated(
+            x.astype(dt), params["w"].astype(dt),
+            window_strides=(self.stride, self.stride),
+            padding=[(self.pad, self.pad), (self.pad, self.pad)],
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.bias:
+            y = y + params["b"]
+        return leaky_relu(y) if self.relu else y
+
+
+class ConvTranspose(Module):
+    """ConvTranspose2d(+LeakyReLU) on NHWC, as an input-dilated conv.
+
+    Output size (H-1)*stride - 2*pad + k, identical to torch. Our canonical
+    weight is the HWIO kernel of the equivalent dilated conv (a spatial flip
+    + axis swap of torch's (cin, cout, k, k) layout — handled by the
+    checkpoint converter, not here).
+    """
+
+    def __init__(self, cin, cout, kernel_size=4, stride=2, pad=1,
+                 relu=True, bias=False):
+        self.cin = cin
+        self.cout = cout
+        self.k = kernel_size
+        self.stride = stride
+        self.pad = pad
+        self.relu = relu
+        self.bias = bias
+
+    def init(self, key):
+        # torch fan_in for ConvTranspose2d weight (cin, cout, k, k) is
+        # cout * k * k (dim-1 based) — mirror that so init statistics match.
+        w = _kaiming_normal(key, (self.k, self.k, self.cin, self.cout),
+                            fan_in=self.cout * self.k * self.k)
+        p = {"w": w}
+        if self.bias:
+            p["b"] = jnp.zeros((self.cout,), jnp.float32)
+        return p
+
+    def __call__(self, params, x):
+        dt = compute_dtype()
+        eff_pad = self.k - 1 - self.pad
+        y = lax.conv_general_dilated(
+            x.astype(dt), params["w"].astype(dt),
+            window_strides=(1, 1),
+            padding=[(eff_pad, eff_pad), (eff_pad, eff_pad)],
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.bias:
+            y = y + params["b"]
+        return leaky_relu(y) if self.relu else y
+
+
+class Sequential(Module):
+    def __init__(self, *modules):
+        self.modules = list(modules)
+
+    def init(self, key):
+        return [m.init(jax.random.fold_in(key, i)) for i, m in enumerate(self.modules)]
+
+    def __call__(self, params, x):
+        for p, m in zip(params, self.modules):
+            x = m(p, x)
+        return x
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+def param_paths(params):
+    """Flat {path_string: leaf} with '/'-joined keys (for fnmatch filtering)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    out = {}
+    for path, leaf in flat:
+        parts = []
+        for p in path:
+            if hasattr(p, "key"):
+                parts.append(str(p.key))
+            elif hasattr(p, "idx"):
+                parts.append(str(p.idx))
+            else:
+                parts.append(str(p))
+        out["/".join(parts)] = leaf
+    return out

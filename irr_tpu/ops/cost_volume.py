@@ -60,34 +60,38 @@ def _cv_fwd_kernel(f1_ref, f2p_ref, out_ref, *, md: int):
 
 
 def _pick_h_tile(h: int, w: int, c: int, md: int) -> int:
-    """Largest h tile dividing h that keeps f1 + haloed f2 + out in VMEM."""
+    """Largest h tile that keeps f1 + haloed f2 + out within a VMEM budget
+    (h is padded up to a multiple of the tile)."""
     n2 = (2 * md + 1) ** 2
     budget = 6 * 1024 * 1024  # bytes; double-buffering needs headroom in ~16MB
-    best = 1
     for ht in (64, 32, 16, 8, 4, 2, 1):
-        if h % ht != 0:
+        if ht > h and ht > 8:
             continue
         f1_b = ht * w * c * 4
         f2_b = (ht + 2 * md) * (w + 2 * md) * c * 4
         out_b = ht * w * n2 * 4
         if f1_b + f2_b + out_b <= budget:
             return ht
-    return best
+    return 1
 
 
 def _cv_pallas_fwd(f1, f2, max_disp, interpret=False):
     b, h, w, c = f1.shape
     md = max_disp
     n2 = (2 * md + 1) ** 2
-    f2p = jnp.pad(f2, ((0, 0), (md, md), (md, md), (0, 0)))
     ht = _pick_h_tile(h, w, c, md)
+    # pad H to a multiple of the tile; padded rows compute garbage we slice off
+    h_pad = -(-h // ht) * ht
     f1 = f1.astype(jnp.float32)
-    f2p = f2p.astype(jnp.float32)
+    f2p = jnp.pad(f2.astype(jnp.float32),
+                  ((0, 0), (md, md + (h_pad - h)), (md, md), (0, 0)))
+    if h_pad != h:
+        f1 = jnp.pad(f1, ((0, 0), (0, h_pad - h), (0, 0), (0, 0)))
     halo_shape = (1, ht + 2 * md, w + 2 * md, c)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_cv_fwd_kernel, md=md),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, n2), jnp.float32),
-        grid=(b, h // ht),
+        out_shape=jax.ShapeDtypeStruct((b, h_pad, w, n2), jnp.float32),
+        grid=(b, h_pad // ht),
         in_specs=[
             pl.BlockSpec((1, ht, w, c), lambda bi, hi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -101,6 +105,7 @@ def _cv_pallas_fwd(f1, f2, max_disp, interpret=False):
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(f1, f2p)
+    return out[:, :h] if h_pad != h else out
 
 
 def _cv_bwd_xla(res, g, max_disp):

@@ -1,0 +1,71 @@
+"""Jitted, sharded train/eval steps.
+
+One fused XLA program per step: forward -> loss -> backward -> optimizer
+update, with donated params/opt_state buffers (in-place on device) and no
+per-step host syncs — the loss dict comes back as device arrays that the
+runtime loop reads asynchronously (contrast the reference's per-batch
+`.item()` sync, runtime.py:182-183).
+"""
+
+from typing import Any, NamedTuple
+
+import jax
+import optax
+
+from .mesh import batch_sharding, replicated_sharding
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+
+
+def make_train_step(model, loss_fn, optimizer, mesh=None, donate=True):
+    """Returns jitted `step(state, batch) -> (state, loss_dict)`.
+
+    batch carries both inputs (input1/input2) and targets (target*) — the
+    model reads what it needs, the loss reads the rest (mirroring the
+    reference's single example_dict contract, configuration.py:45-62).
+    With a mesh: batch sharded over the data axis, state replicated; XLA
+    inserts the gradient all-reduce.
+    """
+
+    def step(state, batch):
+        def loss_of(params):
+            out = model.apply(params, batch, training=True)
+            ld = loss_fn(out, batch, training=True)
+            return ld["total_loss"], ld
+
+        (_, loss_dict), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state), loss_dict
+
+    if mesh is not None:
+        rs = replicated_sharding(mesh)
+        bs = batch_sharding(mesh)
+        state_sh = TrainState(rs, rs)
+        return jax.jit(step,
+                       in_shardings=(state_sh, bs),
+                       out_shardings=(state_sh, rs),
+                       donate_argnums=(0,) if donate else ())
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, loss_fn, mesh=None):
+    """Returns jitted `eval_step(params, batch) -> (loss_dict, output_dict)`."""
+
+    def step(params, batch):
+        out = model.apply(params, batch, training=False)
+        ld = loss_fn(out, batch, training=False)
+        return ld, out
+
+    if mesh is not None:
+        return jax.jit(step, in_shardings=(replicated_sharding(mesh),
+                                           batch_sharding(mesh)))
+    return jax.jit(step)
+
+
+def init_state(model, optimizer, key):
+    params = model.init(key)
+    return TrainState(params, optimizer.init(params))

@@ -1,0 +1,224 @@
+"""Epoch driver (mirrors reference runtime.py:113-605, TPU-async).
+
+Differences from the reference's eager loop, by design:
+  - the train step is one jitted XLA program (forward+loss+backward+update)
+    with donated state buffers;
+  - loss scalars are fetched with a ONE-STEP DELAY: step N's device->host
+    read happens while step N+1 runs, so the accelerator never idles on the
+    reference's per-batch `.item()` sync (runtime.py:182-183,228);
+  - the NaN fail-fast assert (runtime.py:183) runs on the delayed value.
+"""
+
+import collections
+import logging
+import os
+
+import numpy as np
+import jax
+
+from tqdm import tqdm
+
+from .logbook import LoggingBlock, logbook as _logbook_write
+from .meters import MovingAverage
+from ..utils.flow_io import write_flow, write_flow_png
+from ..utils.flow_viz import flow_to_rgb_middlebury
+
+
+def _progressbar(iterable, desc, total=None, unit="it"):
+    return tqdm(iterable, desc=desc, total=total, unit=unit, leave=True,
+                dynamic_ncols=True, ascii=True, smoothing=0.0)
+
+
+def _fetch_floats(loss_dict):
+    return {k: float(v) for k, v in loss_dict.items()}
+
+
+class TrainingEpoch:
+    """One training epoch over a loader of numpy batches."""
+
+    def __init__(self, args, step_fn, loader, augmentation=None,
+                 desc="Training Epoch"):
+        self._args = args
+        self._desc = desc
+        self._loader = loader
+        self._step_fn = step_fn          # (state, batch) -> (state, loss_dict)
+        self._augmentation = augmentation
+        self._training_key = getattr(args, "training_key", "total_loss")
+
+    def run(self, state, aug_state=None):
+        moving_averages = None
+        pending = None  # (loss_dict device arrays, batch_size) from previous step
+
+        def drain(pending):
+            nonlocal moving_averages
+            loss_vals = _fetch_floats(pending[0])
+            tl = loss_vals[self._training_key]
+            assert not np.isnan(tl), "training_loss is NaN"
+            if moving_averages is None:
+                moving_averages = {k: MovingAverage() for k in loss_vals}
+            for k, v in loss_vals.items():
+                moving_averages[k].add_average(v, addcount=pending[1])
+            return collections.OrderedDict(
+                (k + "_ema", "%1.4f" % moving_averages[k].mean())
+                for k in sorted(moving_averages))
+
+        progress = _progressbar(self._loader, self._desc, total=len(self._loader))
+        for batch in progress:
+            batch = {k: v for k, v in batch.items()
+                     if isinstance(v, np.ndarray) and v.dtype != object}
+            if self._augmentation is not None:
+                batch, aug_state = self._augmentation(batch, aug_state)
+            batch_size = batch["input1"].shape[0]
+            state, loss_dict = self._step_fn(state, batch)
+            if pending is not None:
+                progress.set_postfix(drain(pending))
+            pending = (loss_dict, batch_size)
+        if pending is not None:
+            progress.set_postfix(drain(pending))
+        progress.close()
+        _logbook_write(str(progress))
+
+        ema = {k: m.mean() for k, m in (moving_averages or {}).items()}
+        return state, ema, aug_state
+
+
+class EvaluationEpoch:
+    """One evaluation epoch (mirrors runtime.py:258-469)."""
+
+    def __init__(self, args, eval_fn, loader, augmentation=None,
+                 desc="Evaluation Epoch"):
+        self._args = args
+        self._desc = desc
+        self._loader = loader
+        self._eval_fn = eval_fn          # (params, batch) -> (loss_dict, output_dict)
+        self._augmentation = augmentation
+        self._save_output = bool(
+            getattr(args, "save_result_img", False)
+            or getattr(args, "save_result_flo", False)
+            or getattr(args, "save_result_png", False))
+
+    def save_outputs(self, example_dict, output_dict):
+        """Write eval artifacts (runtime.py:276-351): Middlebury viz /
+        occlusion PNGs under save/img, .flo / KITTI 16-bit PNG under save/flo."""
+        from PIL import Image
+        args = self._args
+        save_root_img = os.path.join(args.save, "img")
+        save_root_flo = os.path.join(args.save, "flo")
+        flow_f = np.asarray(output_dict["flow"])          # (B, H, W, 2)
+        b_size = flow_f.shape[0]
+        bidir = getattr(args, "save_result_bidirection", False)
+        if bidir:
+            flow_b = np.asarray(output_dict["flow_b"])
+        if getattr(args, "save_result_occ", False):
+            occ = np.round(1 / (1 + np.exp(-np.asarray(output_dict["occ"])))) * 255
+            if bidir:
+                occ_b = np.round(1 / (1 + np.exp(-np.asarray(output_dict["occ_b"])))) * 255
+
+        basenames = example_dict["basename"]
+        basedirs = example_dict.get("basedir", [""] * b_size)
+        for ii in range(b_size):
+            img_base = os.path.join(save_root_img, str(basedirs[ii]), str(basenames[ii]))
+            flo_base = os.path.join(save_root_flo, str(basedirs[ii]), str(basenames[ii]))
+            os.makedirs(os.path.dirname(img_base), exist_ok=True)
+            os.makedirs(os.path.dirname(flo_base), exist_ok=True)
+
+            if getattr(args, "save_result_img", False):
+                if getattr(args, "save_result_occ", False):
+                    o = np.repeat(occ[ii].astype(np.uint8), 3, axis=-1)
+                    Image.fromarray(o).save(img_base + "_occ.png")
+                    if bidir:
+                        ob = np.repeat(occ_b[ii].astype(np.uint8), 3, axis=-1)
+                        Image.fromarray(ob).save(img_base + "_occ_b.png")
+                Image.fromarray(flow_to_rgb_middlebury(flow_f[ii])).save(
+                    img_base + "_flow.png")
+                if bidir:
+                    Image.fromarray(flow_to_rgb_middlebury(flow_b[ii])).save(
+                        img_base + "_flow_b.png")
+            if getattr(args, "save_result_flo", False):
+                write_flow(flo_base + ".flo", flow_f[ii])
+            if getattr(args, "save_result_png", False):
+                write_flow_png(flo_base + ".png", flow_f[ii])
+
+    def run(self, params, aug_state=None):
+        moving_averages = None
+        progress = _progressbar(self._loader, self._desc, total=len(self._loader))
+        for batch in progress:
+            meta = {k: v for k, v in batch.items()
+                    if not isinstance(v, np.ndarray) or v.dtype == object}
+            batch = {k: v for k, v in batch.items()
+                     if isinstance(v, np.ndarray) and v.dtype != object}
+            if self._augmentation is not None:
+                batch, aug_state = self._augmentation(batch, aug_state)
+            batch_size = batch["input1"].shape[0]
+            loss_dict, output_dict = self._eval_fn(params, batch)
+            if self._save_output:
+                meta.setdefault("basename", [str(i) for i in batch.get(
+                    "index", range(batch_size))])
+                self.save_outputs(meta, output_dict)
+            loss_vals = _fetch_floats(loss_dict)
+            if moving_averages is None:
+                moving_averages = {k: MovingAverage() for k in loss_vals}
+            for k, v in loss_vals.items():
+                moving_averages[k].add_average(v, addcount=batch_size)
+            progress.set_postfix(collections.OrderedDict(
+                (k + "_avg", "%1.4f" % moving_averages[k].mean())
+                for k in sorted(moving_averages)))
+        progress.close()
+        _logbook_write(str(progress))
+        return {k: m.mean() for k, m in (moving_averages or {}).items()}
+
+
+def exec_runtime(args, checkpoint_saver, state, step_fn, eval_fn,
+                 train_loader, validation_loader,
+                 training_augmentation=None, validation_augmentation=None,
+                 lr_for_epoch=None, set_lr=None):
+    """Epoch loop with best-checkpoint selection (runtime.py:472-605).
+
+    lr_for_epoch(epoch) -> lr implements the torch scheduler contract
+    (MultiStepLR etc.); set_lr(state, lr) -> state applies it.
+    """
+    with LoggingBlock("Runtime", emph=True):
+        logging.info("start_epoch: %i", args.start_epoch)
+        logging.info("total_epochs: %i", args.total_epochs)
+
+    best_validation_loss = (float("inf") if args.validation_key_minimize
+                            else -float("inf"))
+    store_as_best = False
+    avg_loss_dict = {}
+
+    for epoch in range(args.start_epoch, args.total_epochs + 1):
+        with LoggingBlock("Epoch %i/%i" % (epoch, args.total_epochs), emph=True):
+            if lr_for_epoch is not None:
+                lr = lr_for_epoch(epoch)
+                logging.info("lr: %s", lr)
+                if set_lr is not None and state is not None:
+                    state = set_lr(state, lr)
+
+            if train_loader is not None:
+                state, avg_loss_dict, _ = TrainingEpoch(
+                    args, step_fn, train_loader,
+                    augmentation=training_augmentation, desc="   Train").run(state)
+
+            if validation_loader is not None:
+                params = state.params if state is not None else None
+                avg_loss_dict = EvaluationEpoch(
+                    args, eval_fn, validation_loader,
+                    augmentation=validation_augmentation, desc="Validate").run(params)
+                validation_loss = avg_loss_dict[args.validation_key]
+                if args.validation_key_minimize:
+                    store_as_best = validation_loss < best_validation_loss
+                else:
+                    store_as_best = validation_loss > best_validation_loss
+                if store_as_best:
+                    best_validation_loss = validation_loss
+                logging.info("best %s: %1.4f", args.validation_key, best_validation_loss)
+
+            if checkpoint_saver is not None and state is not None:
+                checkpoint_saver.save_latest(
+                    directory=args.save,
+                    params=state.params,
+                    stats_dict=dict(avg_loss_dict, epoch=epoch),
+                    store_as_best=store_as_best,
+                    opt_state=state.opt_state)
+    logging.info("Finished.")
+    return state, best_validation_loss

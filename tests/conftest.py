@@ -3,6 +3,10 @@
 This substitutes for the reference's missing test suite (SURVEY.md §4): unit
 tests run without a TPU, and distributed tests simulate an 8-chip mesh via
 --xla_force_host_platform_device_count.
+
+A persistent compilation cache is enabled because this box has a single
+CPU core: first run compiles (~minutes for the model zoo), reruns are
+near-instant.
 """
 
 import os
@@ -11,3 +15,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The host's sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon already baked into the config — the env var set above
+# is too late, so force the platform through the config API.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -42,15 +42,19 @@ def main():
     }
 
     fwd = jax.jit(lambda p, b: model.apply(p, b, training=False))
-    out = fwd(params, batch)
-    jax.block_until_ready(out)
-    for _ in range(WARMUP - 1):
-        jax.block_until_ready(fwd(params, batch))
+
+    def sync(o):
+        # force completion with a host read: block_until_ready is not
+        # reliable through the axon device tunnel
+        return float(o["flow"].ravel()[0])
+
+    for _ in range(WARMUP):
+        sync(fwd(params, batch))
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = fwd(params, batch)
-    jax.block_until_ready(out)
+    sync(out)
     dt = time.perf_counter() - t0
 
     pairs_per_sec = BATCH * ITERS / dt

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..nn.core import Module
 from ..nn.flownet import FlowNetSIrr
 from ..nn.irr import OccUpsampleNetwork, RefineFlow, RefineOcc
-from ..ops.warp import warp_unmasked
+from ..ops.warp import warp_unmasked, warp_multi
 from ..ops.resize import upsample2d_as
 from .flownet_family import _Stem, _swap, _get_num_iters
 
@@ -106,8 +106,9 @@ class IRR_FlowNet(Module):
             flow_up = upsample2d_as(flow_ref, im_stack)
             out["flow"].append(pair(flow_up))
 
-            im_warp = warp_unmasked(_swap(im_stack), flow_up, height_im, width_im, dvf)
-            flow_warp = warp_unmasked(_swap(flow_up), flow_up, height_im, width_im, dvf)
+            im_warp, flow_warp = warp_multi(
+                [_swap(im_stack), _swap(flow_up)], flow_up, height_im, width_im,
+                dvf, masked=False, pwc_norm=False)
             guidance = jnp.concatenate([im_stack, im_warp, flow_up, flow_warp], -1)
             occ_full = self.occ_shuffle_upsample(params["occ_shuffle_upsample"],
                                                  occ_ref, guidance)

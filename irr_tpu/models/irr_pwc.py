@@ -24,7 +24,7 @@ from ..nn.pwc import (FeatureExtractor, FlowEstimatorDense, OccEstimatorDense,
                       ContextNetwork, OccContextNetwork)
 from ..nn.irr import OccUpsampleNetwork, RefineFlow, RefineOcc
 from ..ops.cost_volume import cost_volume
-from ..ops.warp import warp_masked
+from ..ops.warp import warp_masked, warp_multi
 from ..ops.resize import upsample2d_as, rescale_flow
 
 NUM_CHS = [3, 16, 32, 64, 96, 128, 196]
@@ -163,25 +163,41 @@ class IRR_PWC(Module):
                 f_f, f_b = unstack(flow)
                 flows.append([f_f, f_b])
 
-                x_warp = warp_masked(x_sw, flow, height_im, width_im, dvf)
-                flow_warp = warp_masked(_swap(flow), flow, height_im, width_im, dvf)
+                if not training and occ.shape[0] == b2:
+                    # eval returns only the FORWARD occlusion: the backward
+                    # occ branch at levels 5-6 never reaches the output, so
+                    # drop it here (exactly the same returned values, half
+                    # the full-resolution warp + conv work).
+                    occ = occ[:b]
+                if occ.shape[0] == b:  # eval, forward-only
+                    x_warp, flow_warp = warp_multi(
+                        [x_sw[:b], _swap(flow)[:b]], flow[:b],
+                        height_im, width_im, dvf)
+                    x_half = x[:b]
+                    fl = flow[:b]
+                else:
+                    x_warp, flow_warp = warp_multi(
+                        [x_sw, _swap(flow)], flow, height_im, width_im, dvf)
+                    x_half = x
+                    fl = flow
 
                 if l != NUM_LEVELS - 1:
-                    x_in = self.conv_1x1_1(params["conv_1x1_1"], x)
+                    x_in = self.conv_1x1_1(params["conv_1x1_1"], x_half)
                     x_w_in = self.conv_1x1_1(params["conv_1x1_1"], x_warp)
                 else:
-                    x_in = x
+                    x_in = x_half
                     x_w_in = x_warp
 
-                guidance = jnp.concatenate([x_in, x_w_in, flow, flow_warp], -1)
+                guidance = jnp.concatenate([x_in, x_w_in, fl, flow_warp], -1)
                 occ = self.occ_shuffle_upsample(params["occ_shuffle_upsample"], occ, guidance)
-                o_f, o_b = unstack(occ)
-                occs.append([o_f, o_b])
+                if training:
+                    o_f, o_b = unstack(occ)
+                    occs.append([o_f, o_b])
 
         if training:
             return {"flow": flows, "occ": occs}
         flow_f = flow[:b]
-        occ_f = occ[:b]
+        occ_f = occ
         return {
             "flow": upsample2d_as(flow_f, x1_raw) * (1.0 / dvf),
             "occ": upsample2d_as(occ_f, x1_raw),

@@ -3,7 +3,8 @@
 import jax
 import jax.numpy as jnp
 
-from .core import Module, Conv, Sequential
+from .core import (Module, Conv, Sequential, space_to_depth, depth_to_space,
+                   conv3x3_s2d)
 from ..ops.resize import upsample_factor2
 from ..ops.patch import local_filter_3x3
 
@@ -37,6 +38,20 @@ class OccUpsampleNetwork(Module):
     def __call__(self, params, occ, x):
         occ = upsample_factor2(occ, x)
         x_in = jnp.concatenate([occ, x], axis=-1)
+        if x_in.shape[1] % 2 == 0 and x_in.shape[2] % 2 == 0:
+            # space-to-depth execution (exact; see nn/core.py): this tower
+            # runs at the largest resolutions with only 32 channels, where
+            # the plain conv starves the MXU.
+            z = space_to_depth(x_in)
+            x_init = conv3x3_s2d(params["init_conv"], z, relu=True)
+            x_res = x_init
+            p0, p1 = params["res_convs"]
+            for _ in range(3):  # three reuses of the same weights
+                r = conv3x3_s2d(p1, conv3x3_s2d(p0, x_res, relu=True), relu=False)
+                x_res = x_res + r * self.mul_const
+            x_init = x_init + conv3x3_s2d(params["res_end_conv"], x_res, relu=True)
+            out = conv3x3_s2d(params["out_convs"], x_init, relu=True)
+            return depth_to_space(out) + occ
         x_init = self.init_conv(params["init_conv"], x_in)
         x_res = x_init
         for _ in range(3):  # three reuses of the same weights

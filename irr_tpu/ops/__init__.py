@@ -6,7 +6,7 @@ docstrings for reference file:line citations).
 """
 
 from .cost_volume import cost_volume, cost_volume_xla, cost_volume_pallas
-from .warp import grid_sample_aligned, warp_masked, warp_unmasked, inbounds_mask
+from .warp import grid_sample_aligned, warp_masked, warp_unmasked, warp_multi, inbounds_mask
 from .resize import (
     upsample2d,
     upsample2d_as,

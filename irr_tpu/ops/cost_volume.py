@@ -46,33 +46,51 @@ def cost_volume_xla(f1: jnp.ndarray, f2: jnp.ndarray, max_disp: int = 4) -> jnp.
 # Pallas fused kernel
 # ---------------------------------------------------------------------------
 
-def _cv_fwd_kernel(f1_ref, f2p_ref, out_ref, *, md: int):
+def _cv_fwd_kernel(f1_ref, f2a_ref, f2b_ref, out_ref, *, md: int):
+    """All operands are standard pipelined VMEM blocks over grid (B, H/ht).
+    The haloed window of padded f2 is assembled from two ADJACENT row
+    blocks (f2a = rows of this tile, f2b = next tile's rows): overlap
+    without Element-indexed specs (which would force whole-array VMEM
+    staging) and without manual DMA (which requires 128-aligned lanes)."""
     n = 2 * md + 1
     f1 = f1_ref[0]                      # (h_tile, W, C)
     ht, w, c = f1.shape
     inv_c = 1.0 / c
-    outs = []
+    window = jnp.concatenate([f2a_ref[0], f2b_ref[0, :2 * md]], axis=0)
+    # one displacement at a time, written straight to the output ref, so
+    # only a single shifted slice is live in VMEM at once
     for i in range(n):
+        rows = window[i:i + ht]
         for j in range(n):
-            f2s = f2p_ref[0, i:i + ht, j:j + w, :]
-            outs.append(jnp.sum(f1 * f2s, axis=-1) * inv_c)
-    out_ref[0] = jnp.stack(outs, axis=-1)
+            f2s = rows[:, j:j + w, :]
+            out_ref[0, :, :, i * n + j] = jnp.sum(f1 * f2s, axis=-1) * inv_c
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
 
 
 def _pick_h_tile(h: int, w: int, c: int, md: int) -> int:
-    """Largest h tile that keeps f1 + haloed f2 + out within a VMEM budget
-    (h is padded up to a multiple of the tile)."""
+    """Largest h tile that keeps the pipelined blocks within VMEM.
+
+    Block footprints use the real Mosaic layout: the last dim is padded to
+    128 lanes, the second-to-last to 8 sublanes, and the pipeline holds two
+    buffers per operand (double buffering).
+    """
     n2 = (2 * md + 1) ** 2
-    budget = 6 * 1024 * 1024  # bytes; double-buffering needs headroom in ~16MB
-    for ht in (64, 32, 16, 8, 4, 2, 1):
+    c_pad = _round_up(c, 128)
+    n2_pad = _round_up(n2, 128)
+    budget = 11 * 1024 * 1024
+    for ht in (64, 32, 16, 8):  # ht >= 2*md so two blocks cover the halo
         if ht > h and ht > 8:
             continue
-        f1_b = ht * w * c * 4
-        f2_b = (ht + 2 * md) * (w + 2 * md) * c * 4
-        out_b = ht * w * n2 * 4
-        if f1_b + f2_b + out_b <= budget:
+        f1_b = ht * _round_up(w, 8) * c_pad * 4
+        f2_b = ht * _round_up(w + 2 * md, 8) * c_pad * 4
+        out_b = ht * _round_up(w, 8) * n2_pad * 4
+        total = 2 * (f1_b + 2 * f2_b + out_b)  # double-buffered
+        if total <= budget:
             return ht
-    return 1
+    return 8
 
 
 def _cv_pallas_fwd(f1, f2, max_disp, interpret=False):
@@ -87,24 +105,25 @@ def _cv_pallas_fwd(f1, f2, max_disp, interpret=False):
                   ((0, 0), (md, md + (h_pad - h)), (md, md), (0, 0)))
     if h_pad != h:
         f1 = jnp.pad(f1, ((0, 0), (0, h_pad - h), (0, 0), (0, 0)))
-    halo_shape = (1, ht + 2 * md, w + 2 * md, c)
+    # pad f2p rows so the "next block" spec is always in range
+    f2p = jnp.pad(f2p, ((0, 0), (0, ht), (0, 0), (0, 0)))
+    num_h = h_pad // ht
     out = pl.pallas_call(
         functools.partial(_cv_fwd_kernel, md=md),
         out_shape=jax.ShapeDtypeStruct((b, h_pad, w, n2), jnp.float32),
-        grid=(b, h_pad // ht),
+        grid=(b, num_h),
         in_specs=[
             pl.BlockSpec((1, ht, w, c), lambda bi, hi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            # Overlapping haloed window: Element-indexed block (element
-            # offsets rather than block indices).
-            pl.BlockSpec(tuple(pl.Element(d) for d in halo_shape),
-                         lambda bi, hi, _ht=ht: (bi, hi * _ht, 0, 0),
+            pl.BlockSpec((1, ht, w + 2 * md, c), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ht, w + 2 * md, c), lambda bi, hi: (bi, hi + 1, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, ht, w, n2), lambda bi, hi: (bi, hi, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(f1, f2p)
+    )(f1, f2p, f2p)
     return out[:, :h] if h_pad != h else out
 
 

@@ -10,22 +10,54 @@ Mirrors two distinct reference samplers:
     same grid_sample, no mask, and a slightly different flow normalization
     (divides by W instead of max(W-1,1)).
 
-Design note (TPU): sampling is one batched row-gather per corner via
-`jnp.take_along_axis` on a (B, H*W, C) view — XLA lowers this to a single
-gather with contiguous C-vectors, the fastest general formulation short of a
-Pallas kernel. Out-of-bounds corners contribute zero (torch 'zeros' padding).
+Design note (TPU): gathers are the bottleneck, so the sampler fetches each
+pixel's full 2x2 bilinear footprint with ONE lax.gather of a (2, 2, C)
+patch from a zero-padded image (instead of four per-corner row gathers) —
+4x fewer gather descriptors for the same bytes. `warp_multi` additionally
+concatenates tensors sharing one flow field so their patches ride a single
+gather. Out-of-bounds corners contribute zero (torch 'zeros' padding),
+enforced by analytic per-corner masks.
 """
 
+import jax
 import jax.numpy as jnp
 
 
 def _gather_pixels(x_flat: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray, w: int) -> jnp.ndarray:
-    """x_flat: (B, H*W, C); yi, xi: (B, Ho, Wo) int32. Returns (B, Ho, Wo, C)."""
+    """x_flat: (B, H*W, C); yi, xi: (B, Ho, Wo) int32. Returns (B, Ho, Wo, C).
+
+    Kept for the interp2 samplers (clamped-index semantics differ from the
+    zero-padded patch fetch below)."""
     b, _, c = x_flat.shape
     ho, wo = yi.shape[1], yi.shape[2]
     idx = (yi * w + xi).reshape(b, ho * wo, 1)
     out = jnp.take_along_axis(x_flat, idx, axis=1)
     return out.reshape(b, ho, wo, c)
+
+
+def _gather_patches(x: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray) -> jnp.ndarray:
+    """Fetch (2, 2, C) neighborhoods at integer corners (y0, x0).
+
+    x: (B, H, W, C); y0, x0: (B, Ho, Wo) int32 (may be out of range; they
+    are clipped into a zero-padded copy so OOB taps read zeros).
+    Returns (B, Ho, Wo, 2, 2, C)."""
+    b, h, w, c = x.shape
+    ho, wo = y0.shape[1], y0.shape[2]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y0c = jnp.clip(y0, -1, h) + 1
+    x0c = jnp.clip(x0, -1, w) + 1
+    idx = jnp.stack([y0c, x0c], axis=-1).reshape(b, ho * wo, 2)
+
+    def g(img, ind):
+        return jax.lax.gather(
+            img, ind,
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+                start_index_map=(0, 1)),
+            slice_sizes=(2, 2, c), mode="clip")
+
+    patches = jax.vmap(g)(xp, idx)
+    return patches.reshape(b, ho, wo, 2, 2, c)
 
 
 def grid_sample_aligned(x: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.ndarray:
@@ -44,32 +76,18 @@ def grid_sample_aligned(x: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp
     y0f = jnp.floor(iy)
     fx = (ix - x0f).astype(compute_dtype)[..., None]
     fy = (iy - y0f).astype(compute_dtype)[..., None]
-
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
-    x1 = x0 + 1
-    y1 = y0 + 1
 
     def valid(yc, xc):
         return ((yc >= 0) & (yc < h) & (xc >= 0) & (xc < w)).astype(compute_dtype)[..., None]
 
-    v00m, v01m = valid(y0, x0), valid(y0, x1)
-    v10m, v11m = valid(y1, x0), valid(y1, x1)
-
-    x0c = jnp.clip(x0, 0, w - 1)
-    x1c = jnp.clip(x1, 0, w - 1)
-    y0c = jnp.clip(y0, 0, h - 1)
-    y1c = jnp.clip(y1, 0, h - 1)
-
-    x_flat = x.reshape(b, h * w, c)
-    v00 = _gather_pixels(x_flat, y0c, x0c, w) * v00m
-    v01 = _gather_pixels(x_flat, y0c, x1c, w) * v01m
-    v10 = _gather_pixels(x_flat, y1c, x0c, w) * v10m
-    v11 = _gather_pixels(x_flat, y1c, x1c, w) * v11m
-
+    p = _gather_patches(x, y0, x0)
     one = jnp.asarray(1.0, compute_dtype)
-    return (v00 * (one - fy) * (one - fx) + v01 * (one - fy) * fx
-            + v10 * fy * (one - fx) + v11 * fy * fx)
+    return (p[..., 0, 0, :] * valid(y0, x0) * (one - fy) * (one - fx)
+            + p[..., 0, 1, :] * valid(y0, x0 + 1) * (one - fy) * fx
+            + p[..., 1, 0, :] * valid(y0 + 1, x0) * fy * (one - fx)
+            + p[..., 1, 1, :] * valid(y0 + 1, x0 + 1) * fy * fx)
 
 
 def inbounds_mask(ix: jnp.ndarray, iy: jnp.ndarray, h: int, w: int, dtype) -> jnp.ndarray:
@@ -82,7 +100,7 @@ def inbounds_mask(ix: jnp.ndarray, iy: jnp.ndarray, h: int, w: int, dtype) -> jn
     return m.astype(dtype)[..., None]
 
 
-def _flow_to_coords(x: jnp.ndarray, flow: jnp.ndarray, height_im: int, width_im: int,
+def _flow_to_coords(shape_hw, flow: jnp.ndarray, height_im: int, width_im: int,
                     div_flow: float, pwc_norm: bool):
     """Pixel sampling coords at feature resolution from image-scale flow.
 
@@ -91,7 +109,7 @@ def _flow_to_coords(x: jnp.ndarray, flow: jnp.ndarray, height_im: int, width_im:
     norm_w = max(W_im-1, 1) for the PWC layer (pwc_modules.py:121-122) and
     W_im for the FlowNet layer (flownet_modules.py:99-100).
     """
-    b, h, w, _ = x.shape
+    h, w = shape_hw
     if pwc_norm:
         norm_w = max(width_im - 1, 1)
         norm_h = max(height_im - 1, 1)
@@ -110,7 +128,8 @@ def _flow_to_coords(x: jnp.ndarray, flow: jnp.ndarray, height_im: int, width_im:
 def warp_masked(x: jnp.ndarray, flow: jnp.ndarray, height_im: int, width_im: int,
                 div_flow: float) -> jnp.ndarray:
     """PWC WarpingLayer (reference pwc_modules.py:115-133): warp + zero mask."""
-    ix, iy = _flow_to_coords(x, flow, height_im, width_im, div_flow, pwc_norm=True)
+    ix, iy = _flow_to_coords(x.shape[1:3], flow, height_im, width_im, div_flow,
+                             pwc_norm=True)
     out = grid_sample_aligned(x, ix, iy)
     return out * inbounds_mask(ix, iy, x.shape[1], x.shape[2], out.dtype)
 
@@ -118,5 +137,26 @@ def warp_masked(x: jnp.ndarray, flow: jnp.ndarray, height_im: int, width_im: int
 def warp_unmasked(x: jnp.ndarray, flow: jnp.ndarray, height_im: int, width_im: int,
                   div_flow: float) -> jnp.ndarray:
     """FlowNet WarpingLayer (reference flownet_modules.py:93-107): no mask."""
-    ix, iy = _flow_to_coords(x, flow, height_im, width_im, div_flow, pwc_norm=False)
+    ix, iy = _flow_to_coords(x.shape[1:3], flow, height_im, width_im, div_flow,
+                             pwc_norm=False)
     return grid_sample_aligned(x, ix, iy)
+
+
+def warp_multi(tensors, flow, height_im, width_im, div_flow,
+               masked=True, pwc_norm=True):
+    """Warp several NHWC tensors by ONE flow field with a single fused
+    gather (concat on channels, sample once, split). Exact same result as
+    warping each tensor separately."""
+    splits = [t.shape[-1] for t in tensors]
+    stacked = jnp.concatenate(tensors, axis=-1)
+    ix, iy = _flow_to_coords(stacked.shape[1:3], flow, height_im, width_im,
+                             div_flow, pwc_norm=pwc_norm)
+    out = grid_sample_aligned(stacked, ix, iy)
+    if masked:
+        out = out * inbounds_mask(ix, iy, stacked.shape[1], stacked.shape[2], out.dtype)
+    outs = []
+    start = 0
+    for s in splits:
+        outs.append(out[..., start:start + s])
+        start += s
+    return outs

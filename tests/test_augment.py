@@ -1,0 +1,106 @@
+"""Augmentation unit tests: affine math parity with the reference
+(composed from torch primitives in-test), rejection-sampler validity,
+mirror/out-of-bound semantics, crop shapes, determinism."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from irr_tpu import augment
+
+
+def test_theta_composition_matches_affine_matrix_product():
+    """apply_transform_to_params must equal composing the 2x3 affines."""
+    rng = np.random.RandomState(0)
+    t0 = rng.randn(3, 6).astype(np.float32)
+    tt = rng.randn(3, 6).astype(np.float32)
+    got = np.asarray(augment.apply_transform_to_params(jnp.asarray(t0), jnp.asarray(tt)))
+
+    def mat(th):
+        return np.array([[th[0], th[1], th[2]], [th[3], th[4], th[5]], [0, 0, 1]])
+
+    for i in range(3):
+        want = mat(tt[i]) @ mat(t0[i])
+        # composition convention: new coords = theta_transform(theta0(x))
+        got_m = mat(got[i])
+        np.testing.assert_allclose(got_m, want, atol=1e-5)
+
+
+def test_sampled_thetas_keep_corners_inbounds():
+    key = jax.random.PRNGKey(0)
+    theta0 = augment._identity_theta(16)
+    thetas = augment._sample_thetas(
+        key, theta0, height=64, width=96, **augment._GLOBAL_RANGES)
+    invalid = augment._find_invalid(thetas, 64, 96)
+    assert not bool(jnp.any(invalid))
+    # thetas differ per batch element (independent draws)
+    assert not np.allclose(np.asarray(thetas[0]), np.asarray(thetas[1]))
+
+
+def test_identity_theta_transforms_are_noops():
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.rand(2, 12, 16, 3).astype(np.float32))
+    theta = augment._identity_theta(2)
+    out = augment.transform_image(img, theta)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+    flow = jnp.asarray(rng.randn(2, 12, 16, 2).astype(np.float32) * 0.5)
+    out_flow = augment.transform_flow(flow, theta, theta)
+    np.testing.assert_allclose(np.asarray(out_flow), np.asarray(flow), atol=1e-4)
+
+
+def test_pure_translation_shifts_flow():
+    """theta2 = theta1 + extra translation of the second frame adds a
+    constant to the re-derived flow (the flow transform law)."""
+    b, h, w = 1, 17, 21
+    theta1 = augment._identity_theta(b)
+    # translate second image by tx=0.2 in normalized coords = 0.1*(w-1) px
+    theta2 = jnp.asarray([[1., 0., 0.2, 0., 1., 0.]])
+    flow = jnp.zeros((b, h, w, 2))
+    out = augment.transform_flow(flow, theta1, theta2)
+    expect_u = 0.2 * (w - 1) / 2.0
+    np.testing.assert_allclose(np.asarray(out[..., 0]), expect_u, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out[..., 1]), 0.0, atol=1e-4)
+
+
+def test_check_out_of_bound_ors_into_occ():
+    h, w = 8, 8
+    flow = np.zeros((1, h, w, 2), np.float32)
+    flow[0, :, -2:, 0] = 5.0  # pushes the last columns out of bounds
+    occ = np.zeros((1, h, w, 1), np.float32)
+    out = np.asarray(augment.check_out_of_bound(jnp.asarray(flow), jnp.asarray(occ)))
+    assert np.all(out[0, :, -2:, 0] == 1.0)
+    assert np.all(out[0, :, :-2, 0] == 0.0)
+
+
+def test_aug_determinism_and_key_advance():
+    rng = np.random.RandomState(2)
+    batch = {
+        "input1": rng.rand(2, 32, 48, 3).astype(np.float32),
+        "input2": rng.rand(2, 32, 48, 3).astype(np.float32),
+        "target1": rng.randn(2, 32, 48, 2).astype(np.float32),
+    }
+    aug = augment.RandomAffineFlow()
+    out1, key1 = aug(batch, jax.random.PRNGKey(7))
+    out2, _ = aug(batch, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(np.asarray(out1["input1"]),
+                               np.asarray(out2["input1"]))
+    out3, _ = aug(batch, key1)  # advanced key -> different draw
+    assert not np.allclose(np.asarray(out1["input1"]), np.asarray(out3["input1"]))
+
+
+def test_kitti_aug_no_vertical_mirror_and_valid_mask():
+    rng = np.random.RandomState(3)
+    batch = {
+        "input1": rng.rand(2, 32, 48, 3).astype(np.float32),
+        "input2": rng.rand(2, 32, 48, 3).astype(np.float32),
+        "target1": rng.randn(2, 32, 48, 2).astype(np.float32),
+        "input_valid": (rng.rand(2, 32, 48, 1) > 0.2).astype(np.float32),
+    }
+    aug = augment.RandomAffineFlowOccKITTI(crop=[24, 32])
+    out, _ = aug(batch, jax.random.PRNGKey(0))
+    assert out["input1"].shape == (2, 24, 32, 3)
+    assert out["input_valid"].shape == (2, 24, 32, 1)
+    v = np.asarray(out["input_valid"])
+    assert set(np.unique(v)).issubset({0.0, 1.0})
+    np.testing.assert_allclose(np.asarray(out["target2"]), np.asarray(out["target1"]))

@@ -121,7 +121,12 @@ def test_pwcnet_train_structure():
     params = _init(model, jax.random.PRNGKey(0))
     out = _apply(model, params, _inputs(), True)
     assert len(out["flow"]) == 5
-    assert out["flow"][0].shape == (2, H // 64, W // 64, 2)
+
+    def chain(n, k):
+        for _ in range(k):
+            n = (n + 1) // 2
+        return n
+    assert out["flow"][0].shape == (2, chain(H, 6), chain(W, 6), 2)
 
 
 def test_flownet1s_irr_iteration_accumulates():

@@ -69,6 +69,11 @@ def read_png16_rgb(filename) -> np.ndarray:
         elif tag == b"IEND":
             break
     raw = zlib.decompress(b"".join(idat))
+    # fast path: native C++ defilter (irr_tpu/native)
+    from ..native import defilter_png16
+    native = defilter_png16(raw, h, w)
+    if native is not None:
+        return native
     bpp = 6  # 3 channels x 2 bytes
     stride = w * bpp
     out = np.zeros((h, stride), np.uint8)

@@ -105,3 +105,50 @@ def test_photometric_disabled_is_tototensor():
     photo = PhotometricPair(enabled=False)
     a, _ = photo(im, im)
     np.testing.assert_allclose(a, im.astype(np.float32) / 255.0)
+
+
+def test_native_png16_decoder_matches_python(tmp_path):
+    """The C++ defilter core must decode identically to the Python path,
+    including Paeth-filtered rows (what real KITTI files use)."""
+    import struct
+    import zlib
+    import irr_tpu.native as native
+    from irr_tpu.utils.flow_io import _png_chunk
+
+    if native.get_lib() is None:
+        pytest.skip("no C++ toolchain")
+
+    rng = np.random.RandomState(1)
+    h, w = 33, 47
+    img = rng.randint(0, 65536, (h, w, 3)).astype(">u2")
+    rows = img.reshape(h, -1).view(np.uint8).reshape(h, w * 6)
+    bpp = 6
+    enc = bytearray()
+    prev = np.zeros(w * 6, np.int32)
+    for y in range(h):
+        cur = rows[y].astype(np.int32)
+        a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        c = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        p = a + prev - c
+        pa, pb, pc = abs(p - a), abs(p - prev), abs(p - c)
+        pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c))
+        enc.append(4)
+        enc.extend(((cur - pred) & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(enc), 6))
+            + _png_chunk(b"IEND", b""))
+    path = str(tmp_path / "paeth.png")
+    with open(path, "wb") as f:
+        f.write(data)
+
+    got_native = common.read_png16_rgb(path)
+    saved = native._lib
+    try:
+        native._lib = False
+        got_python = common.read_png16_rgb(path)
+    finally:
+        native._lib = saved
+    np.testing.assert_array_equal(got_native, img.astype(np.uint16))
+    np.testing.assert_array_equal(got_native, got_python)

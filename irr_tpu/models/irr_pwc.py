@@ -19,7 +19,7 @@ stack by the flow stack yields [warp(x2, flow_f); warp(x1, flow_b)].
 import jax
 import jax.numpy as jnp
 
-from ..nn.core import Module, Conv, leaky_relu
+from ..nn.core import Module, Conv, leaky_relu, cat_features
 from ..nn.pwc import (FeatureExtractor, FlowEstimatorDense, OccEstimatorDense,
                       ContextNetwork, OccContextNetwork)
 from ..nn.irr import OccUpsampleNetwork, RefineFlow, RefineOcc
@@ -120,16 +120,16 @@ class IRR_PWC(Module):
                 flow = rescale_flow(flow, dvf, width_im, height_im, True)
 
                 x_intm, flow_res = self.flow_estimators(
-                    params["flow_estimators"], jnp.concatenate([corr, x_1by1, flow], -1))
+                    params["flow_estimators"], cat_features(corr, x_1by1, flow))
                 flow_est = flow + flow_res
                 flow_cont = flow_est + self.context_networks(
-                    params["context_networks"], jnp.concatenate([x_intm, flow_est], -1))
+                    params["context_networks"], cat_features(x_intm, flow_est))
 
                 x_intm_occ, occ_res = self.occ_estimators(
-                    params["occ_estimators"], jnp.concatenate([corr, x_1by1, occ], -1))
+                    params["occ_estimators"], cat_features(corr, x_1by1, occ))
                 occ_est = occ + occ_res
                 occ_cont = occ_est + self.occ_context_networks(
-                    params["occ_context_networks"], jnp.concatenate([x_intm_occ, occ_est], -1))
+                    params["occ_context_networks"], cat_features(x_intm_occ, occ_est))
 
                 # bilateral refinement with warped full-res images
                 # (IRR_PWC.py:126-133); refine consumes level-local flow.
@@ -188,7 +188,7 @@ class IRR_PWC(Module):
                     x_in = x_half
                     x_w_in = x_warp
 
-                guidance = jnp.concatenate([x_in, x_w_in, fl, flow_warp], -1)
+                guidance = cat_features(x_in, x_w_in, fl, flow_warp)
                 occ = self.occ_shuffle_upsample(params["occ_shuffle_upsample"], occ, guidance)
                 if training:
                     o_f, o_b = unstack(occ)

@@ -16,7 +16,7 @@ the IRR property. NHWC everywhere.
 import jax
 import jax.numpy as jnp
 
-from ..nn.core import Module, Conv, leaky_relu
+from ..nn.core import Module, Conv, leaky_relu, cat_features
 from ..nn.pwc import (FeatureExtractor, FlowEstimatorDense, OccEstimatorDense,
                       ContextNetwork, OccContextNetwork)
 from ..ops.cost_volume import cost_volume
@@ -125,9 +125,9 @@ class _PWCPlain(_PWCBase):
                 if self.bi:
                     x_intm_b, flow_b = est(pe, corr_b)
             else:
-                x_intm_f, flow_f = est(pe, jnp.concatenate([corr_f, x1, flow_f], -1))
+                x_intm_f, flow_f = est(pe, cat_features(corr_f, x1, flow_f))
                 if self.bi:
-                    x_intm_b, flow_b = est(pe, jnp.concatenate([corr_b, x2, flow_b], -1))
+                    x_intm_b, flow_b = est(pe, cat_features(corr_b, x2, flow_b))
 
             if self.occ:
                 oest = self.occ_estimators[l]
@@ -137,11 +137,11 @@ class _PWCPlain(_PWCBase):
                     if self.bi:
                         x_intm_occ_b, occ_b = oest(poe, corr_b)
                 else:
-                    x_intm_occ_f, occ_f = oest(poe, jnp.concatenate([corr_f, x1, occ_f], -1))
+                    x_intm_occ_f, occ_f = oest(poe, cat_features(corr_f, x1, occ_f))
                     if self.bi:
                         # NOTE: the reference concatenates x1 (not x2) here
                         # (pwcnet_occ_bi.py:104); mirrored for parity.
-                        x_intm_occ_b, occ_b = oest(poe, jnp.concatenate([corr_b, x1, occ_b], -1))
+                        x_intm_occ_b, occ_b = oest(poe, cat_features(corr_b, x1, occ_b))
 
             if l != OUTPUT_LEVEL:
                 flows.append([flow_f, flow_b] if self.bi else flow_f)
@@ -149,17 +149,17 @@ class _PWCPlain(_PWCBase):
                     occs.append([occ_f, occ_b] if self.bi else occ_f)
             else:
                 pc = params["context_networks"]
-                flow_f = flow_f + self.context_networks(pc, jnp.concatenate([x_intm_f, flow_f], -1))
+                flow_f = flow_f + self.context_networks(pc, cat_features(x_intm_f, flow_f))
                 if self.bi:
-                    flow_b = flow_b + self.context_networks(pc, jnp.concatenate([x_intm_b, flow_b], -1))
+                    flow_b = flow_b + self.context_networks(pc, cat_features(x_intm_b, flow_b))
                 flows.append([flow_f, flow_b] if self.bi else flow_f)
                 if self.occ:
                     poc = params["occ_context_networks"]
                     occ_f = occ_f + self.occ_context_networks(
-                        poc, jnp.concatenate([x_intm_occ_f, occ_f], -1))
+                        poc, cat_features(x_intm_occ_f, occ_f))
                     if self.bi:
                         occ_b = occ_b + self.occ_context_networks(
-                            poc, jnp.concatenate([x_intm_occ_b, occ_b], -1))
+                            poc, cat_features(x_intm_occ_b, occ_b))
                     occs.append([occ_f, occ_b] if self.bi else occ_f)
                 break
 
@@ -242,16 +242,16 @@ class _PWCIrr(_PWCBase):
                 x2_1by1 = self.conv_1x1[l](params["conv_1x1"][l], x2)
 
             pe, est = params["flow_estimators"], self.flow_estimators
-            x_intm_f, res_f = est(pe, jnp.concatenate([corr_f, x1_1by1, flow_f], -1))
+            x_intm_f, res_f = est(pe, cat_features(corr_f, x1_1by1, flow_f))
             flow_f = flow_f + res_f
             if self.bi:
-                x_intm_b, res_b = est(pe, jnp.concatenate([corr_b, x2_1by1, flow_b], -1))
+                x_intm_b, res_b = est(pe, cat_features(corr_b, x2_1by1, flow_b))
                 flow_b = flow_b + res_b
 
             pc, ctx = params["context_networks"], self.context_networks
-            flow_f = flow_f + ctx(pc, jnp.concatenate([x_intm_f, flow_f], -1))
+            flow_f = flow_f + ctx(pc, cat_features(x_intm_f, flow_f))
             if self.bi:
-                flow_b = flow_b + ctx(pc, jnp.concatenate([x_intm_b, flow_b], -1))
+                flow_b = flow_b + ctx(pc, cat_features(x_intm_b, flow_b))
 
             flow_f = rescale_flow(flow_f, self.div_flow, width_im, height_im, False)
             if self.bi:
@@ -260,15 +260,15 @@ class _PWCIrr(_PWCBase):
 
             if self.occ:
                 poe, oest = params["occ_estimators"], self.occ_estimators
-                x_io_f, ores_f = oest(poe, jnp.concatenate([corr_f, x1_1by1, occ_f], -1))
+                x_io_f, ores_f = oest(poe, cat_features(corr_f, x1_1by1, occ_f))
                 occ_f = occ_f + ores_f
                 if self.bi:
-                    x_io_b, ores_b = oest(poe, jnp.concatenate([corr_b, x2_1by1, occ_b], -1))
+                    x_io_b, ores_b = oest(poe, cat_features(corr_b, x2_1by1, occ_b))
                     occ_b = occ_b + ores_b
                 poc, octx = params["occ_context_networks"], self.occ_context_networks
-                occ_f = occ_f + octx(poc, jnp.concatenate([x_io_f, occ_f], -1))
+                occ_f = occ_f + octx(poc, cat_features(x_io_f, occ_f))
                 if self.bi:
-                    occ_b = occ_b + octx(poc, jnp.concatenate([x_io_b, occ_b], -1))
+                    occ_b = occ_b + octx(poc, cat_features(x_io_b, occ_b))
                 occs.append([occ_f, occ_b] if self.bi else occ_f)
 
             if l == OUTPUT_LEVEL:

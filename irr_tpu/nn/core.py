@@ -92,7 +92,22 @@ class Conv(Module):
         )
         if self.bias:
             y = y + params["b"]
-        return leaky_relu(y) if self.relu else y
+        y = leaky_relu(y) if self.relu else y
+        # Under a bf16 policy, FEATURE activations are stored bf16 (halves
+        # HBM traffic); small heads (flow/occ/kernel fields, cout < 16)
+        # stay f32 — flow values carry pixel units where bf16 rounding
+        # would cost accuracy.
+        if self.cout >= 16:
+            y = y.astype(dt)
+        return y
+
+
+def cat_features(*tensors):
+    """Channel-concat for conv inputs, cast to the compute dtype so a
+    single f32 member (e.g. the flow state) doesn't upcast the whole
+    concatenated feature tensor under a bf16 policy."""
+    dt = compute_dtype()
+    return jnp.concatenate([t.astype(dt) for t in tensors], axis=-1)
 
 
 class ConvTranspose(Module):

@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 
 from .core import (Module, Conv, Sequential, space_to_depth, depth_to_space,
-                   conv3x3_s2d)
+                   conv3x3_s2d, cat_features)
 from ..ops.resize import upsample_factor2
 from ..ops.patch import local_filter_3x3
 
@@ -97,7 +97,7 @@ class RefineFlow(_RefineBase):
     def __call__(self, params, flow, diff_img, feature):
         flow_m = subtract_mean(flow)
         norm2 = jnp.linalg.norm(diff_img, axis=-1, keepdims=True)
-        kernel = self._kernel(params, jnp.concatenate([flow_m, norm2, feature], axis=-1))
+        kernel = self._kernel(params, cat_features(flow_m, norm2, feature))
         out_x = local_filter_3x3(flow[..., 0:1], kernel)
         out_y = local_filter_3x3(flow[..., 1:2], kernel)
         return jnp.concatenate([out_x, out_y], axis=-1)
@@ -107,5 +107,5 @@ class RefineOcc(_RefineBase):
     """Same filtering for the occlusion logit (irr_modules.py:107-139)."""
 
     def __call__(self, params, occ, feat1, feat2):
-        kernel = self._kernel(params, jnp.concatenate([occ, feat1, feat2], axis=-1))
+        kernel = self._kernel(params, cat_features(occ, feat1, feat2))
         return local_filter_3x3(occ, kernel)

@@ -20,7 +20,7 @@ import numpy as np
 
 BASELINE_A100_PAIRS_PER_SEC = 20.0  # estimated reference throughput (see above)
 H, W = 436, 1024
-BATCH = 4
+BATCH = 8
 WARMUP = 3
 ITERS = 10
 

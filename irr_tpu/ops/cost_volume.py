@@ -51,19 +51,23 @@ def _cv_fwd_kernel(f1_ref, f2a_ref, f2b_ref, out_ref, *, md: int):
     The haloed window of padded f2 is assembled from two ADJACENT row
     blocks (f2a = rows of this tile, f2b = next tile's rows): overlap
     without Element-indexed specs (which would force whole-array VMEM
-    staging) and without manual DMA (which requires 128-aligned lanes)."""
+    staging) and without manual DMA (which requires 128-aligned lanes).
+"""
     n = 2 * md + 1
     f1 = f1_ref[0]                      # (h_tile, W, C)
     ht, w, c = f1.shape
     inv_c = 1.0 / c
     window = jnp.concatenate([f2a_ref[0], f2b_ref[0, :2 * md]], axis=0)
+    f1f = f1.astype(jnp.float32)
     # one displacement at a time, written straight to the output ref, so
-    # only a single shifted slice is live in VMEM at once
+    # only a single shifted slice is live in VMEM at once; inputs may be
+    # bf16 (half the HBM traffic), accumulation is f32
     for i in range(n):
         rows = window[i:i + ht]
         for j in range(n):
-            f2s = rows[:, j:j + w, :]
-            out_ref[0, :, :, i * n + j] = jnp.sum(f1 * f2s, axis=-1) * inv_c
+            f2s = rows[:, j:j + w, :].astype(jnp.float32)
+            corr = jnp.sum(f1f * f2s, axis=-1) * inv_c
+            out_ref[0, :, :, i * n + j] = corr.astype(out_ref.dtype)
 
 
 def _round_up(x, m):
@@ -100,9 +104,8 @@ def _cv_pallas_fwd(f1, f2, max_disp, interpret=False):
     ht = _pick_h_tile(h, w, c, md)
     # pad H to a multiple of the tile; padded rows compute garbage we slice off
     h_pad = -(-h // ht) * ht
-    f1 = f1.astype(jnp.float32)
-    f2p = jnp.pad(f2.astype(jnp.float32),
-                  ((0, 0), (md, md + (h_pad - h)), (md, md), (0, 0)))
+    out_dtype = f1.dtype if f1.dtype == jnp.bfloat16 else jnp.float32
+    f2p = jnp.pad(f2, ((0, 0), (md, md + (h_pad - h)), (md, md), (0, 0)))
     if h_pad != h:
         f1 = jnp.pad(f1, ((0, 0), (0, h_pad - h), (0, 0), (0, 0)))
     # pad f2p rows so the "next block" spec is always in range
@@ -110,7 +113,7 @@ def _cv_pallas_fwd(f1, f2, max_disp, interpret=False):
     num_h = h_pad // ht
     out = pl.pallas_call(
         functools.partial(_cv_fwd_kernel, md=md),
-        out_shape=jax.ShapeDtypeStruct((b, h_pad, w, n2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h_pad, w, n2), out_dtype),
         grid=(b, num_h),
         in_specs=[
             pl.BlockSpec((1, ht, w, c), lambda bi, hi: (bi, hi, 0, 0),

@@ -81,17 +81,37 @@ def _avg_matrix(n_in: int, n_out: int) -> np.ndarray:
     return m
 
 
+@functools.lru_cache(maxsize=None)
+def _kron_eye(mw_key, c: int):
+    """kron(Mw^T, I_c): folds tiny channel counts into the matmul width so
+    the W-pass feeds the MXU with N = Wo*C instead of N = C."""
+    mw = _MW_CACHE[mw_key]
+    return np.kron(mw.T, np.eye(c, dtype=np.float32))
+
+
+_MW_CACHE = {}
+
+
 def _apply_hw(x: jnp.ndarray, mh: np.ndarray, mw: np.ndarray) -> jnp.ndarray:
     """Apply per-axis resample matrices to NHWC x."""
     dt = x.dtype
     mh_ = jnp.asarray(mh, dtype=dt)
-    mw_ = jnp.asarray(mw, dtype=dt)
     # (B,H,W,C) -> (B,Ho,W,C) -> (B,Ho,Wo,C); both become MXU matmuls.
     # HIGHEST precision: resize weights must not round to bf16 — checkpoint
     # parity of the pyramid depends on exact align_corners arithmetic.
     x = jnp.einsum("oh,bhwc->bowc", mh_, x, precision=jax.lax.Precision.HIGHEST)
-    x = jnp.einsum("pw,bowc->bopc", mw_, x, precision=jax.lax.Precision.HIGHEST)
-    return x
+    b, ho, w, c = x.shape
+    if c <= 8:
+        # W-pass with C folded in: out[(p,c)] = sum_(w,c') kron(Mw^T, I)[(w,c'),(p,c)]
+        key = (id(mw), mw.shape)
+        _MW_CACHE[key] = mw
+        kmat = jnp.asarray(_kron_eye(key, c), dtype=dt)
+        xf = x.reshape(b, ho, w * c)
+        out = jnp.einsum("bok,kq->boq", xf, kmat,
+                         precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(b, ho, mw.shape[0], c)
+    mw_ = jnp.asarray(mw, dtype=dt)
+    return jnp.einsum("pw,bowc->bopc", mw_, x, precision=jax.lax.Precision.HIGHEST)
 
 
 def upsample2d(x: jnp.ndarray, size, mode: str = "bilinear") -> jnp.ndarray:

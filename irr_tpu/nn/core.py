@@ -81,25 +81,24 @@ class Conv(Module):
         return p
 
     def __call__(self, params, x):
-        dt = compute_dtype()
+        # Under a bf16 policy, FEATURE convs run fully in bf16 (inputs,
+        # MXU output, stored activations — the MXU still accumulates f32
+        # internally); small heads (flow/occ/kernel fields, cout < 16)
+        # compute entirely in f32 — flow values carry pixel units where
+        # bf16 rounding would cost accuracy. Keeping input/output dtypes
+        # consistent per conv also keeps the autodiff transpose well-typed.
+        dt = compute_dtype() if self.cout >= 16 else jnp.float32
         y = lax.conv_general_dilated(
             x.astype(dt), params["w"].astype(dt),
             window_strides=(self.stride, self.stride),
             padding=[(self.pad, self.pad), (self.pad, self.pad)],
             rhs_dilation=(self.dilation, self.dilation),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=dt,
         )
         if self.bias:
-            y = y + params["b"]
-        y = leaky_relu(y) if self.relu else y
-        # Under a bf16 policy, FEATURE activations are stored bf16 (halves
-        # HBM traffic); small heads (flow/occ/kernel fields, cout < 16)
-        # stay f32 — flow values carry pixel units where bf16 rounding
-        # would cost accuracy.
-        if self.cout >= 16:
-            y = y.astype(dt)
-        return y
+            y = y + params["b"].astype(dt)
+        return leaky_relu(y) if self.relu else y
 
 
 def cat_features(*tensors):
@@ -140,7 +139,7 @@ class ConvTranspose(Module):
         return p
 
     def __call__(self, params, x):
-        dt = compute_dtype()
+        dt = compute_dtype() if self.cout >= 16 else jnp.float32
         eff_pad = self.k - 1 - self.pad
         y = lax.conv_general_dilated(
             x.astype(dt), params["w"].astype(dt),
@@ -148,10 +147,10 @@ class ConvTranspose(Module):
             padding=[(eff_pad, eff_pad), (eff_pad, eff_pad)],
             lhs_dilation=(self.stride, self.stride),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=dt,
         )
         if self.bias:
-            y = y + params["b"]
+            y = y + params["b"].astype(dt)
         return leaky_relu(y) if self.relu else y
 
 
@@ -227,16 +226,16 @@ def s2d_weights(w):
 def conv3x3_s2d(params, x, relu=True):
     """Run a padded 3x3 conv via the space-to-depth identity.
     x is already in s2d space; params are the ORIGINAL (3,3,Cin,Cout)/bias."""
-    dt = compute_dtype()
+    dt = compute_dtype() if 4 * params["w"].shape[3] >= 16 else jnp.float32
     w_big = s2d_weights(params["w"]).astype(dt)
     y = lax.conv_general_dilated(
         x.astype(dt), w_big,
         window_strides=(1, 1), padding=[(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=dt,
     )
     if "b" in params:
-        y = y + jnp.tile(params["b"], 4)
+        y = y + jnp.tile(params["b"], 4).astype(dt)
     return leaky_relu(y) if relu else y
 
 

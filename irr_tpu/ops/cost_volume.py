@@ -12,8 +12,9 @@ Two implementations:
     golden reference in tests. A fused XLA kernel re-reads f1 once per
     output channel (81x HBM traffic), hence:
   - `cost_volume_pallas`: fused Pallas TPU kernel — one pass over a VMEM
-    tile of f1 and a haloed (overlapping, Element-indexed) tile of padded
-    f2 produces all 81 channels: ~1x HBM reads of each feature map.
+    tile of f1 and a haloed window of padded f2 (assembled from two
+    adjacent pipelined blocks) produces all 81 channels: ~2x HBM reads of
+    each feature map instead of 81x.
     Custom VJP whose backward is the two correlation-style shift-gathers
     (same math as the reference CUDA backward,
     correlation_cuda_kernel.cu:117-300, expressed as XLA pad/slice adds).
@@ -131,23 +132,13 @@ def _cv_pallas_fwd(f1, f2, max_disp, interpret=False):
 
 
 def _cv_bwd_xla(res, g, max_disp):
-    """Backward: df1 is a correlation-style gather of g x shifted f2; df2 a
-    scatter-add of g x f1 (the math of correlation_cuda_kernel.cu:117-300)."""
+    """Backward via XLA autodiff of the shift-loop forward (the same
+    correlation-gather math as correlation_cuda_kernel.cu:117-300, but
+    XLA's transpose of pad/slice/mean schedules the 81 accumulations
+    better than hand-written .at[].add updates — measured ~4x faster)."""
     f1, f2 = res
-    b, h, w, c = f1.shape
-    md = max_disp
-    n = 2 * md + 1
-    inv_c = 1.0 / c
-    f2p = jnp.pad(f2, ((0, 0), (md, md), (md, md), (0, 0)))
-    df1 = jnp.zeros_like(f1)
-    df2p = jnp.zeros((b, h + 2 * md, w + 2 * md, c), f1.dtype)
-    for i in range(n):
-        for j in range(n):
-            gk = g[..., i * n + j][..., None].astype(f1.dtype) * inv_c  # (B,H,W,1)
-            df1 = df1 + gk * f2p[:, i:i + h, j:j + w, :]
-            df2p = df2p.at[:, i:i + h, j:j + w, :].add(gk * f1)
-    df2 = df2p[:, md:md + h, md:md + w, :]
-    return df1, df2
+    _, vjp = jax.vjp(lambda a, b: cost_volume_xla(a, b, max_disp), f1, f2)
+    return vjp(g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -1,0 +1,39 @@
+"""Eval artifact writers (runtime.py:276-351 contract): .flo, KITTI PNG,
+Middlebury viz and occlusion images land in save/{img,flo}/<basedir>/."""
+
+import os
+import types
+
+import numpy as np
+
+from irr_tpu.runtime.loop import EvaluationEpoch
+from irr_tpu.data.common import read_flo, read_png16_flow
+
+
+def test_save_outputs_writes_all_artifacts(tmp_path):
+    args = types.SimpleNamespace(
+        save=str(tmp_path), save_result_img=True, save_result_flo=True,
+        save_result_png=True, save_result_occ=True,
+        save_result_bidirection=True)
+    epoch = EvaluationEpoch(args, eval_fn=None, loader=None)
+
+    rng = np.random.RandomState(0)
+    b, h, w = 2, 16, 24
+    output = {
+        "flow": rng.randn(b, h, w, 2).astype(np.float32),
+        "flow_b": rng.randn(b, h, w, 2).astype(np.float32),
+        "occ": rng.randn(b, h, w, 1).astype(np.float32),
+        "occ_b": rng.randn(b, h, w, 1).astype(np.float32),
+    }
+    example = {"basename": ["frame_0001", "frame_0002"],
+               "basedir": ["clean/alley_1", "clean/alley_1"]}
+    epoch.save_outputs(example, output)
+
+    base = os.path.join(str(tmp_path), "img", "clean/alley_1", "frame_0001")
+    for suffix in ("_flow.png", "_flow_b.png", "_occ.png", "_occ_b.png"):
+        assert os.path.isfile(base + suffix), suffix
+    flo_base = os.path.join(str(tmp_path), "flo", "clean/alley_1", "frame_0001")
+    got = read_flo(flo_base + ".flo")
+    np.testing.assert_array_equal(got, output["flow"][0])
+    got_png, _ = read_png16_flow(flo_base + ".png")
+    np.testing.assert_allclose(got_png, output["flow"][0], atol=1 / 64)

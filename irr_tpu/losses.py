@@ -17,15 +17,16 @@ Notes vs the reference:
 import jax
 import jax.numpy as jnp
 
+from .nn.core import safe_norm
 from .ops.resize import downsample2d_as, upsample2d_as
 
 
 def _elementwise_epe(input_flow, target_flow):
-    return jnp.linalg.norm(target_flow - input_flow, axis=-1, keepdims=True)
+    return safe_norm(target_flow - input_flow, axis=-1, keepdims=True)
 
 
 def _elementwise_robust_epe_char(input_flow, target_flow):
-    return (jnp.linalg.norm(target_flow - input_flow, axis=-1, keepdims=True) + 0.01) ** 0.4
+    return (safe_norm(target_flow - input_flow, axis=-1, keepdims=True) + 0.01) ** 0.4
 
 
 def f1_score(y_true, y_pred, eps=1e-8):
@@ -451,7 +452,7 @@ class MultiScaleEPE_PWC_Bi_Occ_upsample_KITTI(_LossBase):
             ld["flow_loss"] = flow_loss / self._batch_size
             ld["total_loss"] = flow_loss / self._batch_size
         else:
-            gt_mag = jnp.linalg.norm(target_dict["target1"], axis=-1, keepdims=True) + 1e-8
+            gt_mag = safe_norm(target_dict["target1"], axis=-1, keepdims=True) + 1e-8
             epe = _elementwise_epe(output_dict["flow"], target_dict["target1"]) * valid
             valid_sum = jnp.sum(valid.reshape(b, -1), axis=1)
             ld["epe"] = jnp.mean(jnp.sum(epe.reshape(b, -1), axis=1) / valid_sum)

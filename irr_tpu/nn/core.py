@@ -38,6 +38,18 @@ def leaky_relu(x, negative_slope=0.1):
     return jnp.where(x >= 0, x, x * negative_slope)
 
 
+def safe_norm(x, axis=-1, keepdims=True):
+    """L2 norm with torch's subgradient-0-at-0 convention.
+
+    jnp.linalg.norm's gradient is NaN at exactly-zero vectors (0/0); torch
+    returns 0 there. Zero vectors DO occur (clipped photometric images,
+    masked warps), so the double-where trick keeps training finite.
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    is_zero = sq == 0
+    return jnp.where(is_zero, 0.0, jnp.sqrt(jnp.where(is_zero, 1.0, sq)))
+
+
 def _kaiming_normal(key, shape, fan_in):
     std = np.sqrt(2.0 / fan_in)
     return jax.random.normal(key, shape, jnp.float32) * std

@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 
 from .core import (Module, Conv, Sequential, space_to_depth, depth_to_space,
-                   conv3x3_s2d, cat_features)
+                   conv3x3_s2d, cat_features, safe_norm)
 from ..ops.resize import upsample_factor2
 from ..ops.patch import local_filter_3x3
 
@@ -96,7 +96,7 @@ class RefineFlow(_RefineBase):
 
     def __call__(self, params, flow, diff_img, feature):
         flow_m = subtract_mean(flow)
-        norm2 = jnp.linalg.norm(diff_img, axis=-1, keepdims=True)
+        norm2 = safe_norm(diff_img, axis=-1, keepdims=True)
         kernel = self._kernel(params, cat_features(flow_m, norm2, feature))
         out_x = local_filter_3x3(flow[..., 0:1], kernel)
         out_y = local_filter_3x3(flow[..., 1:2], kernel)

@@ -16,8 +16,6 @@ matmul in bf16 with f32 accumulation (MXU-native), while params and all
 inter-layer tensors stay f32.
 """
 
-from typing import Sequence
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ import logging
 import os
 
 import numpy as np
-import jax
 
 from tqdm import tqdm
 

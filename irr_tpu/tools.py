@@ -3,7 +3,6 @@
 import ast
 import fnmatch
 import inspect
-import json
 import os
 
 

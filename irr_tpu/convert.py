@@ -49,6 +49,9 @@ _RULES = [
      r"feature_pyramid_extractor/\1/\2"),
     (re.compile(r"^(flow_estimators|occ_estimators)\.(conv\d|conv_last)\.0$"),
      r"\1/\2"),
+    # per-level ModuleList estimators (pwcnet.py:23-40 PWCNet/_bi/_occ/_occ_bi)
+    (re.compile(r"^(flow_estimators|occ_estimators)\.(\d+)\.(conv\d|conv_last)\.0$"),
+     r"\1/\2/\3"),
     (re.compile(r"^(context_networks|occ_context_networks)\.convs\.(\d+)\.0$"),
      r"\1/\2"),
     (re.compile(r"^occ_shuffle_upsample\.(init_conv|res_end_conv|out_convs)\.0$"),

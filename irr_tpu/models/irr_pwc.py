@@ -132,12 +132,18 @@ class IRR_PWC(Module):
                     params["occ_context_networks"], cat_features(x_intm_occ, occ_est))
 
                 # bilateral refinement with warped full-res images
-                # (IRR_PWC.py:126-133); refine consumes level-local flow.
+                # (IRR_PWC.py:126-138). QUIRK, replicated mechanically: the
+                # reference rescale_flow mutates its input IN PLACE (chunk
+                # views + `u *= scale`, pwc_modules.py:78-80), so the
+                # rescale inside the warp call at IRR_PWC.py:128 converts
+                # flow_cont to global units as a SIDE EFFECT; RefineFlow
+                # then receives the GLOBAL-unit flow and the "rescale" at
+                # :135 scales flow_cont a second time. Verified against the
+                # actual torch model in tests/test_fidelity.py.
                 img_resize = upsample2d_as(raw, flow)
-                img_warp = warp_masked(
-                    _swap(img_resize),
-                    rescale_flow(flow_cont, dvf, width_im, height_im, False),
-                    height_im, width_im, dvf)
+                flow_cont = rescale_flow(flow_cont, dvf, width_im, height_im, False)
+                img_warp = warp_masked(_swap(img_resize), flow_cont,
+                                       height_im, width_im, dvf)
                 flow_ref = self.refine_flow(
                     params["refine_flow"], jax.lax.stop_gradient(flow_cont),
                     img_resize - img_warp, x_1by1)

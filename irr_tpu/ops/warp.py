@@ -21,6 +21,7 @@ enforced by analytic per-corner masks.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _gather_pixels(x_flat: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray, w: int) -> jnp.ndarray:
@@ -155,11 +156,95 @@ grid_sample_aligned.defvjp(_gs_fwd, _gs_bwd)
 def inbounds_mask(ix: jnp.ndarray, iy: jnp.ndarray, h: int, w: int, dtype) -> jnp.ndarray:
     """1.0 where the query point is fully inside [0, W-1] x [0, H-1].
 
-    Analytic form of the reference's warped-ones `mask >= 1.0` test
-    (pwc_modules.py:129-131).
+    Analytic (idealized) form of the reference's warped-ones `mask >= 1.0`
+    test. NOTE: the reference's actual mask is NOT this — see
+    `pwc_reference_mask` below for the bit-faithful version used by the
+    model warp path.
     """
     m = (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
     return m.astype(dtype)[..., None]
+
+
+def _torch_linspace(n: int) -> jnp.ndarray:
+    """torch.linspace(-1, 1, n) bit patterns (the reference's get_grid,
+    pwc_modules.py:107-112). Computed with torch at trace time so the
+    constants match the reference exactly; numpy fallback if torch is
+    unavailable."""
+    try:
+        import torch
+        return jnp.asarray(torch.linspace(-1.0, 1.0, n).numpy())
+    except Exception:
+        i = np.arange(n, dtype=np.float64)
+        step = 2.0 / max(n - 1, 1)
+        return jnp.asarray((-1.0 + i * step).astype(np.float32))
+
+
+def _exact_div_f32(x: jnp.ndarray, c: float) -> jnp.ndarray:
+    """IEEE-correctly-rounded f32 division x / f32(c).
+
+    XLA lowers f32 divide-by-constant to a reciprocal multiply that is off
+    by 1 ulp for ~5% of inputs (measured on XLA:CPU). The reference mask
+    threshold (see pwc_reference_mask) sits exactly on a rounding boundary,
+    so those ulps flip mask pixels. Emulate exact f32 division through f64
+    (correct except ~2^-29-probability double-rounding ties). On TPU f64 is
+    unsupported; fall back to plain division there (sporadic 1-ulp mask
+    flips vs the reference are accepted on-device; the CPU fidelity gate is
+    bit-faithful).
+    """
+    if jax.default_backend() == "tpu":
+        return x / jnp.float32(c)
+    with jax.enable_x64():
+        x64 = jax.lax.convert_element_type(x, jnp.float64)
+        q = x64 / np.float64(np.float32(c))
+        return jax.lax.convert_element_type(q, jnp.float32)
+
+
+def pwc_reference_mask(shape_hw, flow, height_im: int, width_im: int,
+                       div_flow: float, dtype) -> jnp.ndarray:
+    """The reference WarpingLayer mask, bit-faithfully.
+
+    The reference warps an all-ones tensor through grid_sample
+    (align_corners=True, zeros padding) and keeps pixels where the result
+    is >= 1.0 (pwc_modules.py:127-133). In exact math that is "query fully
+    in-bounds", but the warped-ones value is the f32 sum of the four
+    bilinear tap weights, which ROUNDS BELOW 1.0 for a small fraction of
+    interior query points — the reference zeroes those pixels too. To match
+    reference outputs (checkpoint fidelity), this replicates torch's exact
+    f32 op order: linspace grid + normalized flow, unnormalize, per-tap
+    weight products, nw+ne+sw+se accumulation, >= 1.0 threshold.
+    """
+    h, w = shape_hw
+    one = jnp.float32(1.0)
+    u = flow[..., 0].astype(jnp.float32)
+    v = flow[..., 1].astype(jnp.float32)
+    # flo_w = flow[:, 0] * 2 / max(W_im - 1, 1) / div_flow (pwc_modules.py:121-122)
+    fw = _exact_div_f32(_exact_div_f32(u * jnp.float32(2.0),
+                                       max(width_im - 1, 1)), div_flow)
+    fh = _exact_div_f32(_exact_div_f32(v * jnp.float32(2.0),
+                                       max(height_im - 1, 1)), div_flow)
+    gx = _torch_linspace(w)[None, None, :] + fw
+    gy = _torch_linspace(h)[None, :, None] + fh
+    # grid_sampler_unnormalize(align_corners=True): ((coord + 1) / 2) * (size - 1)
+    x = ((gx + one) / jnp.float32(2.0)) * jnp.float32(w - 1)
+    y = ((gy + one) / jnp.float32(2.0)) * jnp.float32(h - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = x0 + one
+    y1 = y0 + one
+    nw = (x1 - x) * (y1 - y)
+    ne = (x - x0) * (y1 - y)
+    sw = (x1 - x) * (y - y0)
+    se = (x - x0) * (y - y0)
+
+    def ib(yc, xc):
+        return (yc >= 0) & (yc <= h - 1) & (xc >= 0) & (xc <= w - 1)
+
+    zero = jnp.float32(0.0)
+    s = jnp.where(ib(y0, x0), nw, zero)
+    s = s + jnp.where(ib(y0, x1), ne, zero)
+    s = s + jnp.where(ib(y1, x0), sw, zero)
+    s = s + jnp.where(ib(y1, x1), se, zero)
+    return (s >= one).astype(dtype)[..., None]
 
 
 def _flow_to_coords(shape_hw, flow: jnp.ndarray, height_im: int, width_im: int,
@@ -193,7 +278,8 @@ def warp_masked(x: jnp.ndarray, flow: jnp.ndarray, height_im: int, width_im: int
     ix, iy = _flow_to_coords(x.shape[1:3], flow, height_im, width_im, div_flow,
                              pwc_norm=True)
     out = grid_sample_aligned(x, ix, iy)
-    return out * inbounds_mask(ix, iy, x.shape[1], x.shape[2], out.dtype)
+    return out * pwc_reference_mask(x.shape[1:3], flow, height_im, width_im,
+                                    div_flow, out.dtype)
 
 
 def warp_unmasked(x: jnp.ndarray, flow: jnp.ndarray, height_im: int, width_im: int,
@@ -215,7 +301,8 @@ def warp_multi(tensors, flow, height_im, width_im, div_flow,
                              div_flow, pwc_norm=pwc_norm)
     out = grid_sample_aligned(stacked, ix, iy)
     if masked:
-        out = out * inbounds_mask(ix, iy, stacked.shape[1], stacked.shape[2], out.dtype)
+        out = out * pwc_reference_mask(stacked.shape[1:3], flow, height_im,
+                                       width_im, div_flow, out.dtype)
     outs = []
     start = 0
     for s in splits:

@@ -170,11 +170,18 @@ class EvaluationEpoch:
 def exec_runtime(args, checkpoint_saver, state, step_fn, eval_fn,
                  train_loader, validation_loader,
                  training_augmentation=None, validation_augmentation=None,
-                 lr_for_epoch=None, set_lr=None):
+                 lr_for_epoch=None, set_lr=None, plateau_scheduler=None):
     """Epoch loop with best-checkpoint selection (runtime.py:472-605).
 
     lr_for_epoch(epoch) -> lr implements the torch scheduler contract
     (MultiStepLR etc.); set_lr(state, lr) -> state applies it.
+
+    plateau_scheduler: a ReduceLROnPlateau instance, stepped with the
+    validation key after each evaluation epoch. (The reference marks this
+    case at runtime.py:487 but then calls `lr_scheduler.step()` WITHOUT the
+    metric at :570 — which raises in torch, so ReduceLROnPlateau is dead
+    code there. Here it is wired as intended: step(validation_loss), the
+    reduced lr takes effect from the next epoch via lr_for_epoch.)
     """
     with LoggingBlock("Runtime", emph=True):
         logging.info("start_epoch: %i", args.start_epoch)
@@ -211,6 +218,8 @@ def exec_runtime(args, checkpoint_saver, state, step_fn, eval_fn,
                 if store_as_best:
                     best_validation_loss = validation_loss
                 logging.info("best %s: %1.4f", args.validation_key, best_validation_loss)
+                if plateau_scheduler is not None:
+                    plateau_scheduler.step(validation_loss)
 
             if checkpoint_saver is not None and state is not None:
                 checkpoint_saver.save_latest(

@@ -13,6 +13,7 @@ import numpy as np
 
 def main(argv=None):
     from irr_tpu import config, optim
+    from irr_tpu import lr_scheduler as lr_scheduler_mod
     from irr_tpu.runtime import LoggingBlock, exec_runtime
     from irr_tpu.runtime.loop import EvaluationEpoch
     from irr_tpu.parallel import make_mesh, make_train_step, make_eval_step
@@ -98,7 +99,9 @@ def main(argv=None):
         training_augmentation=training_augmentation,
         validation_augmentation=validation_augmentation,
         lr_for_epoch=lr_for_epoch if lr_scheduler is not None else None,
-        set_lr=set_lr)
+        set_lr=set_lr,
+        plateau_scheduler=(lr_scheduler if isinstance(
+            lr_scheduler, lr_scheduler_mod.ReduceLROnPlateau) else None))
     return best
 
 

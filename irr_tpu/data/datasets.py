@@ -36,11 +36,27 @@ def _split_indices(n, validate_indices, dstype):
 
 
 class Dataset:
-    """Base: subclasses fill _image_list (+ optional target lists)."""
+    """Base: subclasses fill _image_list (+ optional target lists).
+
+    Random augmentation draws are made from a PER-EXAMPLE RandomState seeded
+    by (base_seed, epoch, index), so results are deterministic and
+    independent of iteration order — a requirement for the loader's
+    parallel example decode (loader.py num_workers > 1). The loader calls
+    set_epoch() so repeated passes draw fresh parameters.
+    """
 
     def __init__(self, photometric_augmentations=False, rng=None):
         self._rng = rng if rng is not None else np.random
+        self._base_seed = int(self._rng.randint(0, 2 ** 31 - 1))
+        self._epoch = 0
         self._photo = PhotometricPair(enabled=photometric_augmentations, rng=self._rng)
+
+    def set_epoch(self, epoch):
+        self._epoch = int(epoch)
+
+    def _example_rng(self, index):
+        mix = (self._base_seed + 1000003 * self._epoch + 8191 * int(index)) % (2 ** 31 - 1)
+        return np.random.RandomState(mix)
 
     def __len__(self):
         return self._size
@@ -71,7 +87,7 @@ class FlyingChairs(Dataset):
         im1 = common.read_image_as_byte(self._image_list[index][0])
         im2 = common.read_image_as_byte(self._image_list[index][1])
         flo = common.read_flo(self._flow_list[index])
-        im1, im2 = self._photo(im1, im2)
+        im1, im2 = self._photo(im1, im2, rng=self._example_rng(index))
         return {
             "input1": im1, "input2": im2, "target1": flo,
             "index": index,
@@ -124,7 +140,7 @@ class FlyingChairsOcc(Dataset):
         flo_b = common.read_flo(self._flow_list[index][1])
         o1 = common.read_occ_image_as_float32(self._occ_list[index][0])
         o2 = common.read_occ_image_as_float32(self._occ_list[index][1])
-        im1, im2 = self._photo(im1, im2)
+        im1, im2 = self._photo(im1, im2, rng=self._example_rng(index))
         return {
             "input1": im1, "input2": im2,
             "target1": flo_f, "target2": flo_b,
@@ -202,7 +218,7 @@ class FlyingThings3d(Dataset):
             flo_f = filling_in_nan(flo_f)
         if np.any(np.isnan(flo_b)):
             flo_b = filling_in_nan(flo_b)
-        im1, im2 = self._photo(im1, im2)
+        im1, im2 = self._photo(im1, im2, rng=self._example_rng(index))
         return {
             "input1": im1, "input2": im2,
             "target1": flo_f, "target2": flo_b,
@@ -309,7 +325,7 @@ class _Sintel(Dataset):
         im2 = common.read_image_as_byte(im2_fn)
         flo = common.read_flo(self._flow_list[index])
         occ = common.read_occ_image_as_float32(self._occ_list[index])
-        im1, im2 = self._photo(im1, im2)
+        im1, im2 = self._photo(im1, im2, rng=self._example_rng(index))
         basedir = os.path.splitext(os.path.dirname(im1_fn).replace(self._subtract_base, "")[1:])[0]
         return {
             "input1": im1, "input2": im2,
@@ -346,7 +362,8 @@ class _SintelTest(Dataset):
         index = index % self._size
         im1_fn, im2_fn = self._image_list[index]
         im1, im2 = self._photo(common.read_image_as_byte(im1_fn),
-                               common.read_image_as_byte(im2_fn))
+                               common.read_image_as_byte(im2_fn),
+                               rng=self._example_rng(index))
         basedir = os.path.splitext(os.path.dirname(im1_fn).replace(self._subtract_base, "")[1:])[0]
         return {
             "input1": im1, "input2": im2, "index": index,
@@ -433,14 +450,15 @@ class KittiComb(Dataset):
         im1 = common.read_image_as_byte(im1_fn)
         im2 = common.read_image_as_byte(im2_fn)
         out = {"index": index, "basename": os.path.basename(im1_fn)[:6]}
+        rng = self._example_rng(index)
         if self._has_gt:
             flo, valid = common.read_png16_flow(self._flow_list[index])
             if self.preprocessing_crop:
                 im1, im2, flo, valid = kitti_random_crop(im1, im2, flo, valid,
-                                                         rng=self._rng)
+                                                         rng=rng)
             # target2 == target1 (kitti_combined.py:365: no backward GT)
             out.update({"target1": flo, "target2": flo, "input_valid": valid})
-        im1, im2 = self._photo(im1, im2)
+        im1, im2 = self._photo(im1, im2, rng=rng)
         out.update({"input1": im1, "input2": im2})
         return out
 

@@ -36,7 +36,8 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=2,
-                 drop_last=False, seed=0, prefetch=2):
+                 drop_last=False, seed=0, prefetch=2,
+                 process_index=0, process_count=1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -45,6 +46,11 @@ class DataLoader:
         self.prefetch = prefetch
         self._epoch = 0
         self._seed = seed
+        # multi-host: batch_size is GLOBAL; every process computes the same
+        # shuffle (same seed) and loads its contiguous slice of each batch
+        # (parallel/mesh.local_shard_slice order contract).
+        self.process_index = int(process_index)
+        self.process_count = int(process_count)
 
     def __len__(self):
         n = len(self.dataset)
@@ -63,27 +69,62 @@ class DataLoader:
             chunk = order[i:i + self.batch_size]
             if len(chunk) < self.batch_size and self.drop_last:
                 continue
+            if self.process_count > 1:
+                if len(chunk) % self.process_count:
+                    continue  # ragged final batch cannot split evenly
+                from ..parallel.mesh import local_shard_slice
+                chunk = local_shard_slice(chunk, self.process_index,
+                                          self.process_count)
             batches.append(chunk)
         return batches
 
     def __iter__(self):
         batches = self._index_batches()
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)
         self._epoch += 1
         out_q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def producer():
             try:
-                for chunk in batches:
-                    if stop.is_set():
-                        break
-                    examples = [self.dataset[int(i)] for i in chunk]
-                    out_q.put(_stack_batch(examples))
+                if self.num_workers <= 1:
+                    for chunk in batches:
+                        if stop.is_set():
+                            break
+                        examples = [self.dataset[int(i)] for i in chunk]
+                        out_q.put(_stack_batch(examples))
+                else:
+                    # num_workers example-decode threads; batches assembled
+                    # in order. Deterministic regardless of scheduling: the
+                    # dataset seeds augmentation per (epoch, index), not
+                    # from a shared stream. PIL/numpy release the GIL in
+                    # their C cores, so decode overlaps device compute.
+                    from concurrent.futures import ThreadPoolExecutor
+                    import collections as _c
+                    with ThreadPoolExecutor(self.num_workers) as pool:
+                        pending = _c.deque()
+                        it = iter(batches)
+
+                        def submit_next():
+                            chunk = next(it, None)
+                            if chunk is None:
+                                return False
+                            pending.append([pool.submit(
+                                self.dataset.__getitem__, int(i)) for i in chunk])
+                            return True
+
+                        for _ in range(self.prefetch + 1):
+                            if not submit_next():
+                                break
+                        while pending and not stop.is_set():
+                            futs = pending.popleft()
+                            examples = [f.result() for f in futs]
+                            out_q.put(_stack_batch(examples))
+                            submit_next()
             finally:
                 out_q.put(None)
 
-        # one producer thread per loader; example decode fan-out happens
-        # inside the dataset readers (PIL releases the GIL)
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:

@@ -128,21 +128,22 @@ class ColorJitter:
         self.hue = hue
         self.rng = rng if rng is not None else np.random
 
-    def __call__(self, img_u8):
+    def __call__(self, img_u8, rng=None):
+        rng = self.rng if rng is None else rng
         ops = []
         if self.brightness:
-            f = self.rng.uniform(max(0.0, 1 - self.brightness), 1 + self.brightness)
+            f = rng.uniform(max(0.0, 1 - self.brightness), 1 + self.brightness)
             ops.append(lambda x, f=f: adjust_brightness_u8(x, f))
         if self.contrast:
-            f = self.rng.uniform(max(0.0, 1 - self.contrast), 1 + self.contrast)
+            f = rng.uniform(max(0.0, 1 - self.contrast), 1 + self.contrast)
             ops.append(lambda x, f=f: adjust_contrast_u8(x, f))
         if self.saturation:
-            f = self.rng.uniform(max(0.0, 1 - self.saturation), 1 + self.saturation)
+            f = rng.uniform(max(0.0, 1 - self.saturation), 1 + self.saturation)
             ops.append(lambda x, f=f: adjust_saturation_u8(x, f))
         if self.hue:
-            f = self.rng.uniform(-self.hue, self.hue)
+            f = rng.uniform(-self.hue, self.hue)
             ops.append(lambda x, f=f: adjust_hue_u8(x, f))
-        for k in self.rng.permutation(len(ops)):
+        for k in rng.permutation(len(ops)):
             img_u8 = ops[k](img_u8)
         return img_u8
 
@@ -156,8 +157,9 @@ class RandomGamma:
         self.clip_image = clip_image
         self.rng = rng if rng is not None else np.random
 
-    def __call__(self, img):
-        gamma = self.rng.uniform(self.min_gamma, self.max_gamma)
+    def __call__(self, img, rng=None):
+        rng = self.rng if rng is None else rng
+        gamma = rng.uniform(self.min_gamma, self.max_gamma)
         adjusted = np.power(img, gamma)
         if self.clip_image:
             adjusted = np.clip(adjusted, 0.0, 1.0)
@@ -179,12 +181,13 @@ class PhotometricPair:
         self.jitter = ColorJitter(rng=self.rng)
         self.gamma = RandomGamma(0.7, 1.5, clip_image=True, rng=self.rng)
 
-    def __call__(self, im1_byte, im2_byte):
+    def __call__(self, im1_byte, im2_byte, rng=None):
         if not self.enabled:
             return (im1_byte.astype(np.float32) / 255.0,
                     im2_byte.astype(np.float32) / 255.0)
         h = im1_byte.shape[0]
         both = np.concatenate([np.asarray(im1_byte, np.uint8),
                                np.asarray(im2_byte, np.uint8)], axis=0)
-        both = self.gamma(self.jitter(both).astype(np.float32) / 255.0)
+        both = self.gamma(self.jitter(both, rng=rng).astype(np.float32) / 255.0,
+                          rng=rng)
         return both[:h], both[h:]

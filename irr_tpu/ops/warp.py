@@ -272,14 +272,39 @@ def _flow_to_coords(shape_hw, flow: jnp.ndarray, height_im: int, width_im: int,
     return ix, iy
 
 
+# The reference mask's >=1.0 threshold is CHAOTIC: which knife-edge pixels
+# flip depends on the low bits of the flow, so any ulp-level numerical
+# reordering (GSPMD sharding, backend change) produces sporadic mask flips
+# — exactly as the reference itself would differ between torch CPU and GPU.
+# "reference" (default) is bit-faithful to torch; "analytic" is the
+# idealized interior test, numerically stable, for equality-style tests
+# (sharded == unsharded) and for users who prefer robustness over
+# checkpoint-exactness.
+_MASK_MODE = {"mode": "reference"}
+
+
+def set_warp_mask_mode(mode: str):
+    assert mode in ("reference", "analytic"), mode
+    _MASK_MODE["mode"] = mode
+
+
+def _pwc_mask(shape_hw, flow, height_im, width_im, div_flow, dtype):
+    if _MASK_MODE["mode"] == "analytic":
+        ix, iy = _flow_to_coords(shape_hw, flow, height_im, width_im,
+                                 div_flow, pwc_norm=True)
+        return inbounds_mask(ix, iy, shape_hw[0], shape_hw[1], dtype)
+    return pwc_reference_mask(shape_hw, flow, height_im, width_im,
+                              div_flow, dtype)
+
+
 def warp_masked(x: jnp.ndarray, flow: jnp.ndarray, height_im: int, width_im: int,
                 div_flow: float) -> jnp.ndarray:
     """PWC WarpingLayer (reference pwc_modules.py:115-133): warp + zero mask."""
     ix, iy = _flow_to_coords(x.shape[1:3], flow, height_im, width_im, div_flow,
                              pwc_norm=True)
     out = grid_sample_aligned(x, ix, iy)
-    return out * pwc_reference_mask(x.shape[1:3], flow, height_im, width_im,
-                                    div_flow, out.dtype)
+    return out * _pwc_mask(x.shape[1:3], flow, height_im, width_im,
+                           div_flow, out.dtype)
 
 
 def warp_unmasked(x: jnp.ndarray, flow: jnp.ndarray, height_im: int, width_im: int,
@@ -301,8 +326,8 @@ def warp_multi(tensors, flow, height_im, width_im, div_flow,
                              div_flow, pwc_norm=pwc_norm)
     out = grid_sample_aligned(stacked, ix, iy)
     if masked:
-        out = out * pwc_reference_mask(stacked.shape[1:3], flow, height_im,
-                                       width_im, div_flow, out.dtype)
+        out = out * _pwc_mask(stacked.shape[1:3], flow, height_im,
+                              width_im, div_flow, out.dtype)
     outs = []
     start = 0
     for s in splits:

@@ -18,6 +18,12 @@ def str2str_or_none(v):
     return str(v)
 
 
+def str2int_or_none(v):
+    if v is None or str(v).lower() in ("none", "null", ""):
+        return None
+    return int(v)
+
+
 def str2intlist(v):
     if v is None:
         return None

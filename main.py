@@ -22,6 +22,18 @@ def main(argv=None):
 
     args = config.setup_logging_and_parse_arguments(blocktitle="Commandline Arguments",
                                                     argv=argv)
+
+    if getattr(args, "multihost", False):
+        # DCN multi-host: join the global runtime BEFORE touching devices.
+        from irr_tpu.parallel.mesh import initialize_multihost
+        pid, pcount = initialize_multihost(args.coordinator_address,
+                                           args.num_processes, args.process_id)
+        logging.info("multihost: process %d/%d, %d global devices",
+                     pid, pcount, len(jax.devices()))
+        args._process_index, args._process_count = pid, pcount
+    else:
+        args._process_index, args._process_count = 0, 1
+
     key = config.configure_random_seed(args)
 
     train_loader, validation_loader = config.configure_data_loaders(args)
@@ -58,6 +70,20 @@ def main(argv=None):
         step_fn = make_train_step(model, training_loss, optimizer, mesh=mesh)
     eval_fn = make_eval_step(model, validation_loss, mesh=mesh) \
         if validation_loss is not None else None
+
+    if args._process_count > 1 and mesh is not None:
+        # host-local batch shards -> one global sharded array per leaf
+        from irr_tpu.parallel.mesh import global_batch_from_local
+        if step_fn is not None:
+            _raw_step = step_fn
+            step_fn = lambda state, batch: _raw_step(
+                state, global_batch_from_local(batch, mesh))
+        if eval_fn is not None:
+            _raw_eval = eval_fn
+            eval_fn = lambda params, batch: _raw_eval(
+                params, global_batch_from_local(batch, mesh))
+        if args._process_index != 0:
+            checkpoint_saver = None  # only rank 0 writes checkpoints
 
     if args.evaluation:
         args.start_epoch = 1

@@ -152,3 +152,32 @@ def test_native_png16_decoder_matches_python(tmp_path):
         native._lib = saved
     np.testing.assert_array_equal(got_native, img.astype(np.uint16))
     np.testing.assert_array_equal(got_native, got_python)
+
+
+def test_loader_num_workers_parity(tmp_path):
+    """Parallel example decode must yield byte-identical batches, in the
+    same order, as the single-worker path (per-example augmentation
+    seeding makes the draws independent of thread scheduling)."""
+    root = str(tmp_path)
+    _make_chairs_occ(root, n=10)
+
+    def batches(workers):
+        ds = FlyingChairsOcc(root=root, dstype="full",
+                             photometric_augmentations=True,
+                             rng=np.random.RandomState(5))
+        loader = DataLoader(ds, batch_size=3, shuffle=True, seed=11,
+                            num_workers=workers)
+        return [list(iter(loader)) for _ in range(2)]  # two epochs
+
+    a, b = batches(1), batches(4)
+    for ep_a, ep_b in zip(a, b):
+        assert len(ep_a) == len(ep_b)
+        for ba, bb in zip(ep_a, ep_b):
+            assert set(ba) == set(bb)
+            for k in ba:
+                if isinstance(ba[k], np.ndarray):
+                    np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
+                else:
+                    assert ba[k] == bb[k], k
+    # epochs must differ (set_epoch drives fresh augmentation draws)
+    assert not np.array_equal(a[0][0]["input1"], a[1][0]["input1"])

@@ -106,12 +106,6 @@ def _patch_ref_warping_layers(model):
             mod.forward = forward.__get__(mod, WarpingLayer)
 
 
-def _analytic_mask(shape_hw, flow, height_im, width_im, div_flow, dtype):
-    ix, iy = warp_mod._flow_to_coords(shape_hw, flow, height_im, width_im,
-                                      div_flow, pwc_norm=True)
-    return warp_mod.inbounds_mask(ix, iy, shape_hw[0], shape_hw[1], dtype)
-
-
 def _run_ours(name, sd, x1, x2):
     model = getattr(our_models, name)()
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
@@ -164,12 +158,19 @@ def test_pwc_reference_mask_matches_torch(ref_models):
     ("PWCNet", ("flow",)),
     ("IRR_PWC", ("flow", "occ")),
 ])
-def test_eval_outputs_match_reference(ref_models, name, keys, monkeypatch):
+def test_eval_outputs_match_reference(ref_models, name, keys):
     """Whole-model parity with the chaotic mask swapped for the analytic
     interior mask on both sides. Eval flow is divided by div_flow=0.05
     (x20 noise amplification; per-scale agreement is ~4e-6), so flow keys
     get atol=5e-4; occ logits are un-amplified: atol=1e-4."""
-    monkeypatch.setattr(warp_mod, "pwc_reference_mask", _analytic_mask)
+    warp_mod.set_warp_mask_mode("analytic")
+    try:
+        _run_eval_parity(ref_models, name, keys)
+    finally:
+        warp_mod.set_warp_mask_mode("reference")
+
+
+def _run_eval_parity(ref_models, name, keys):
     sd, x1, x2, ref_out = _run_ref(ref_models, name, patch_mask=True)
     ours = _run_ours(name, sd, x1, x2)
     for key in keys:

@@ -54,6 +54,24 @@ class CosineAnnealingLR:
                 * (1 + math.cos(math.pi * n / self.T_max)) / 2)
 
 
+class LambdaLR:
+    """torch.optim.lr_scheduler.LambdaLR (typed in the reference CLI,
+    commandline.py:311; no script uses it). lr_lambda maps epoch-count ->
+    multiplicative factor; accepts a callable or a python expression string
+    of `epoch` (the only form expressible through the CLI)."""
+
+    def __init__(self, lr_lambda=None, last_epoch=-1):
+        if isinstance(lr_lambda, str):
+            expr = lr_lambda
+            lr_lambda = lambda epoch: eval(expr, {"__builtins__": {}},
+                                           {"epoch": epoch, "math": math})
+        self.lr_lambda = lr_lambda if lr_lambda is not None else (lambda e: 1.0)
+        self.offset = int(last_epoch) + 1
+
+    def lr(self, base_lr, n_steps):
+        return base_lr * float(self.lr_lambda(n_steps + self.offset))
+
+
 class ReduceLROnPlateau:
     def __init__(self, mode="min", factor=0.1, patience=10, threshold=1e-4,
                  cooldown=0, min_lr=0.0):

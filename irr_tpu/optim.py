@@ -15,6 +15,8 @@ MultiStepLR contract).
 
 import functools
 
+import jax
+
 import jax.numpy as jnp
 import optax
 
@@ -108,6 +110,81 @@ def Adamax(lr=2e-3, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0):
     parts.append(optax.scale(-1.0))
     parts.append(optax.scale(lr))
     return optax.chain(*parts)
+
+
+@_inject_lr
+def Rprop(lr=1e-2, etas=(0.5, 1.2), step_sizes=(1e-6, 50.0)):
+    """torch.optim.Rprop, trajectory-exact (reference optim/__init__.py
+    re-export; no script uses it). NOT optax.rprop: that one initializes
+    the previous gradient to zero and so emits a ZERO first step, while
+    torch steps immediately with step_size=lr."""
+    eta_minus, eta_plus = etas
+    min_step, max_step = step_sizes
+
+    def init(params):
+        return {
+            "step_size": jax.tree_util.tree_map(
+                lambda p: jnp.full(p.shape, lr, jnp.float32), params),
+            "prev_grad": jax.tree_util.tree_map(jnp.zeros_like, params),
+            "t": jnp.zeros((), jnp.int32),
+        }
+
+    def update(updates, state, params=None):
+        def per_leaf(g, prev, step):
+            sign = g * prev
+            new_step = jnp.where(
+                sign > 0, jnp.minimum(step * eta_plus, max_step),
+                jnp.where(sign < 0, jnp.maximum(step * eta_minus, min_step),
+                          step))
+            g_eff = jnp.where(sign < 0, 0.0, g)
+            return -jnp.sign(g_eff) * new_step, g_eff, new_step
+
+        flat_g, treedef = jax.tree_util.tree_flatten(updates)
+        flat_p = treedef.flatten_up_to(state["prev_grad"])
+        flat_s = treedef.flatten_up_to(state["step_size"])
+        outs = [per_leaf(g, p, s) for g, p, s in zip(flat_g, flat_p, flat_s)]
+        upd = jax.tree_util.tree_unflatten(treedef, [o[0] for o in outs])
+        prev = jax.tree_util.tree_unflatten(treedef, [o[1] for o in outs])
+        steps = jax.tree_util.tree_unflatten(treedef, [o[2] for o in outs])
+        return upd, {"step_size": steps, "prev_grad": prev,
+                     "t": state["t"] + 1}
+
+    return optax.GradientTransformation(init, update)
+
+
+@_inject_lr
+def ASGD(lr=1e-2, lambd=1e-4, alpha=0.75, t0=1e6, weight_decay=0.0):
+    """torch.optim.ASGD's optimization path. torch's ASGD keeps a Polyak
+    average in state['ax'] but STEPS with the plain (decayed) gradient and
+    never exposes the average through .step(); the parameter trajectory —
+    all the reference could consume — uses eta_t = lr/(1+lambd*lr*t)^alpha
+    with the lambd shrinkage term."""
+    def init(params):
+        return {"t": jnp.zeros((), jnp.float32)}
+
+    def update(updates, state, params=None):
+        t = state["t"] + 1.0
+        eta = lr / (1.0 + lambd * lr * t) ** alpha
+        def upd(g, p):
+            g = g + weight_decay * p if weight_decay else g
+            # torch: p = p*(1 - lambd*eta) - eta*grad, as an additive update
+            return -(lambd * eta) * p - eta * g
+        return (jax.tree_util.tree_map(upd, updates, params), {"t": t})
+
+    return optax.GradientTransformation(init, update)
+
+
+def LBFGS(lr=1.0, **unused_kwargs):
+    """torch.optim.LBFGS name parity (reference optim/__init__.py; no
+    script uses it, and its closure-based .step() contract does not fit
+    the jitted step). optax.lbfgs provides the same math; history/line-
+    search knobs use optax defaults."""
+    return optax.lbfgs(learning_rate=lr)
+
+
+# torch.optim.SparseAdam is intentionally absent: it exists solely for
+# torch sparse gradients, which have no JAX counterpart (all gradients are
+# dense); Adam covers the dense case. (COMPONENTS.md)
 
 
 def _path_names(path):

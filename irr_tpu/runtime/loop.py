@@ -192,7 +192,13 @@ def exec_runtime(args, checkpoint_saver, state, step_fn, eval_fn,
     store_as_best = False
     avg_loss_dict = {}
 
-    for epoch in range(args.start_epoch, args.total_epochs + 1):
+    # total progress over epochs; every update is streamed into the logbook
+    # (reference runtime.py:505-514: logging_on_update=True on this bar)
+    total_progress = _progressbar(
+        range(args.start_epoch, args.total_epochs + 1), "Progress",
+        total=args.total_epochs - args.start_epoch + 1, unit="ep")
+
+    for epoch in total_progress:
         with LoggingBlock("Epoch %i/%i" % (epoch, args.total_epochs), emph=True):
             if lr_for_epoch is not None:
                 lr = lr_for_epoch(epoch)
@@ -228,5 +234,11 @@ def exec_runtime(args, checkpoint_saver, state, step_fn, eval_fn,
                     stats_dict=dict(avg_loss_dict, epoch=epoch),
                     store_as_best=store_as_best,
                     opt_state=state.opt_state)
+        if validation_loader is not None and np.isfinite(best_validation_loss):
+            total_progress.set_postfix(collections.OrderedDict(
+                [("best_" + args.validation_key,
+                  "%1.4f" % best_validation_loss)]))
+        _logbook_write(str(total_progress))
+    total_progress.close()
     logging.info("Finished.")
     return state, best_validation_loss

@@ -43,3 +43,84 @@ def test_plateau():
     s.step(1.0)   # bad 1
     s.step(1.0)   # bad 2 -> reduce
     np.testing.assert_allclose(s.lr(1.0), 0.5)
+
+
+def test_lambda_lr():
+    from irr_tpu.lr_scheduler import LambdaLR
+    s = LambdaLR(lr_lambda=lambda e: 0.5 ** e)
+    assert abs(s.lr(1e-3, 0) - 1e-3) < 1e-12
+    assert abs(s.lr(1e-3, 2) - 0.25e-3) < 1e-12
+    s2 = LambdaLR(lr_lambda="0.1 ** epoch")
+    assert abs(s2.lr(1.0, 1) - 0.1) < 1e-12
+
+
+def test_new_optimizers_step():
+    """ASGD / Rprop / LBFGS registry names construct and take a step."""
+    import jax, jax.numpy as jnp
+    from irr_tpu import optim
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.full((4,), 0.5)}
+    for name, kw in (("ASGD", {}), ("Rprop", {}), ("LBFGS", {"lr": 0.1})):
+        opt = getattr(optim, name)(**kw)
+        st = opt.init(params)
+        try:
+            upd, st = opt.update(grads, st, params)
+        except TypeError:
+            upd, st = opt.update(grads, st, params, value=jnp.asarray(1.0),
+                                 grad=grads, value_fn=lambda p: jnp.asarray(1.0))
+        new = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+        assert jnp.isfinite(new["w"]).all(), name
+        assert not jnp.allclose(new["w"], params["w"]), name
+
+
+def test_asgd_matches_torch_trajectory():
+    """ASGD parameter trajectory == torch.optim.ASGD over a few steps."""
+    import torch
+    import jax, jax.numpy as jnp
+    from irr_tpu import optim
+    w0 = np.asarray([1.0, -2.0, 0.5], np.float32)
+    gs = [np.asarray(g, np.float32) for g in
+          ([0.3, -0.1, 0.2], [0.05, 0.4, -0.3], [-0.2, 0.1, 0.1])]
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.ASGD([tw], lr=1e-2, lambd=1e-4, alpha=0.75, t0=1e6,
+                            weight_decay=1e-3)
+    for g in gs:
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    opt = optim.ASGD(lr=1e-2, lambd=1e-4, alpha=0.75, t0=1e6, weight_decay=1e-3)
+    params = {"w": jnp.asarray(w0)}
+    st = opt.init(params)
+    for g in gs:
+        upd, st = opt.update({"w": jnp.asarray(g)}, st, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+    np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(),
+                               rtol=1e-5)
+
+
+def test_rprop_matches_torch_trajectory():
+    import torch
+    import jax, jax.numpy as jnp
+    from irr_tpu import optim
+    w0 = np.asarray([1.0, -2.0, 0.5], np.float32)
+    gs = [np.asarray(g, np.float32) for g in
+          ([0.3, -0.1, 0.2], [0.05, 0.4, -0.3], [-0.2, 0.1, 0.1],
+           [0.0, -0.1, 0.2])]
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.Rprop([tw], lr=1e-2, etas=(0.5, 1.2),
+                             step_sizes=(1e-6, 50.0))
+    for g in gs:
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    opt = optim.Rprop(lr=1e-2, etas=(0.5, 1.2), step_sizes=(1e-6, 50.0))
+    params = {"w": jnp.asarray(w0)}
+    st = opt.init(params)
+    for g in gs:
+        upd, st = opt.update({"w": jnp.asarray(g)}, st, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+    np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(),
+                               rtol=1e-6)

@@ -110,7 +110,7 @@ class IRR_PWC(Module):
                     occ = upsample2d_as(occ, x)
                     x_warp = warp_masked(x_sw, flow, height_im, width_im, dvf)
 
-                corr = leaky_relu(cost_volume(x, x_warp, SEARCH_RANGE))
+                corr = cost_volume(x, x_warp, SEARCH_RANGE, relu=True)
 
                 if l != OUTPUT_LEVEL:
                     x_1by1 = self.conv_1x1[l](params["conv_1x1"][l], x)

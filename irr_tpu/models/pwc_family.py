@@ -114,9 +114,9 @@ class _PWCPlain(_PWCBase):
                     if self.bi:
                         occ_b = upsample2d_as(occ_b, x2)
 
-            corr_f = leaky_relu(cost_volume(x1, x2_warp, SEARCH_RANGE))
+            corr_f = cost_volume(x1, x2_warp, SEARCH_RANGE, relu=True)
             if self.bi:
-                corr_b = leaky_relu(cost_volume(x2, x1_warp, SEARCH_RANGE))
+                corr_b = cost_volume(x2, x1_warp, SEARCH_RANGE, relu=True)
 
             est = self.flow_estimators[l]
             pe = params["flow_estimators"][l]
@@ -229,9 +229,9 @@ class _PWCIrr(_PWCBase):
                     if self.bi:
                         occ_b = upsample2d_as(occ_b, x2)
 
-            corr_f = leaky_relu(cost_volume(x1, x2_warp, SEARCH_RANGE))
+            corr_f = cost_volume(x1, x2_warp, SEARCH_RANGE, relu=True)
             if self.bi:
-                corr_b = leaky_relu(cost_volume(x2, x1_warp, SEARCH_RANGE))
+                corr_b = cost_volume(x2, x1_warp, SEARCH_RANGE, relu=True)
 
             flow_f = rescale_flow(flow_f, self.div_flow, width_im, height_im, True)
             if self.bi:

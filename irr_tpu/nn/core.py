@@ -32,6 +32,13 @@ def compute_dtype():
     return _POLICY["compute_dtype"]
 
 
+def head_dtype(cout):
+    """Per-conv compute dtype under the mixed policy: feature convs follow
+    the policy; small heads (flow/occ/kernel fields, cout < 16) stay f32 —
+    flow values carry pixel units where bf16 rounding would cost accuracy."""
+    return _POLICY["compute_dtype"] if cout >= 16 else jnp.float32
+
+
 def leaky_relu(x, negative_slope=0.1):
     return jnp.where(x >= 0, x, x * negative_slope)
 
@@ -97,7 +104,7 @@ class Conv(Module):
         # compute entirely in f32 — flow values carry pixel units where
         # bf16 rounding would cost accuracy. Keeping input/output dtypes
         # consistent per conv also keeps the autodiff transpose well-typed.
-        dt = compute_dtype() if self.cout >= 16 else jnp.float32
+        dt = head_dtype(self.cout)
         y = lax.conv_general_dilated(
             x.astype(dt), params["w"].astype(dt),
             window_strides=(self.stride, self.stride),
@@ -149,7 +156,7 @@ class ConvTranspose(Module):
         return p
 
     def __call__(self, params, x):
-        dt = compute_dtype() if self.cout >= 16 else jnp.float32
+        dt = head_dtype(self.cout)
         eff_pad = self.k - 1 - self.pad
         y = lax.conv_general_dilated(
             x.astype(dt), params["w"].astype(dt),
@@ -236,7 +243,7 @@ def s2d_weights(w):
 def conv3x3_s2d(params, x, relu=True):
     """Run a padded 3x3 conv via the space-to-depth identity.
     x is already in s2d space; params are the ORIGINAL (3,3,Cin,Cout)/bias."""
-    dt = compute_dtype() if 4 * params["w"].shape[3] >= 16 else jnp.float32
+    dt = head_dtype(4 * params["w"].shape[3])
     w_big = s2d_weights(params["w"]).astype(dt)
     y = lax.conv_general_dilated(
         x.astype(dt), w_big,

@@ -47,62 +47,87 @@ def cost_volume_xla(f1: jnp.ndarray, f2: jnp.ndarray, max_disp: int = 4) -> jnp.
 # Pallas fused kernel
 # ---------------------------------------------------------------------------
 
-def _cv_fwd_kernel(f1_ref, f2a_ref, f2b_ref, out_ref, *, md: int):
+def _cv_fwd_kernel(f1_ref, f2a_ref, f2b_ref, out_ref, win_ref, *, md: int,
+                   relu: bool):
     """All operands are standard pipelined VMEM blocks over grid (B, H/ht).
     The haloed window of padded f2 is assembled from two ADJACENT row
     blocks (f2a = rows of this tile, f2b = next tile's rows): overlap
     without Element-indexed specs (which would force whole-array VMEM
     staging) and without manual DMA (which requires 128-aligned lanes).
-"""
+
+    The output is CHANNEL-FIRST (B, D^2, H, W): each displacement writes a
+    full lane-aligned (ht, W) tile at out_ref[0, k]. (The previous NHWC
+    kernel wrote one LANE of the 128-lane output tile per displacement —
+    81 read-modify-write masked stores per block, measured ~10x slower.)
+    """
     n = 2 * md + 1
     f1 = f1_ref[0]                      # (h_tile, W, C)
     ht, w, c = f1.shape
     inv_c = 1.0 / c
-    window = jnp.concatenate([f2a_ref[0], f2b_ref[0, :2 * md]], axis=0)
+    # assemble the haloed window in a VMEM scratch ref (dynamic slicing of
+    # VALUES is not lowerable on TPU; dynamic REF indexing is)
+    win_ref[0:ht] = f2a_ref[0]
+    win_ref[ht:ht + 2 * md] = f2b_ref[0, :2 * md]
     f1f = f1.astype(jnp.float32)
-    # one displacement at a time, written straight to the output ref, so
-    # only a single shifted slice is live in VMEM at once; inputs may be
-    # bf16 (half the HBM traffic), accumulation is f32
-    for i in range(n):
-        rows = window[i:i + ht]
+
+    # fori_loop over the row offset i only (dynamic indexing is allowed on
+    # untiled dim 0 of the ref); the n column offsets j are static slices of
+    # the loaded value. Full 81-way Python unroll blew Mosaic's 16 MB scoped
+    # stack; an 81-trip fori with dynamic j hit the sublane-alignment rule
+    # ("index in dimension 1 must be a multiple of 8") for C not a lane
+    # multiple. n live slices per trip is the workable middle.
+    def body(i, _):
+        rows = win_ref[pl.ds(i, ht)]        # (ht, w + 2*md, c)
         for j in range(n):
             f2s = rows[:, j:j + w, :].astype(jnp.float32)
             corr = jnp.sum(f1f * f2s, axis=-1) * inv_c
-            out_ref[0, :, :, i * n + j] = corr.astype(out_ref.dtype)
+            if relu:
+                corr = jnp.where(corr >= 0, corr, corr * 0.1)
+            out_ref[0, i * n + j] = corr.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
 
 
 def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _pick_h_tile(h: int, w: int, c: int, md: int) -> int:
+def _pick_h_tile(h: int, w: int, c: int, md: int, bytes_per_el: int) -> int:
     """Largest h tile that keeps the pipelined blocks within VMEM.
 
     Block footprints use the real Mosaic layout: the last dim is padded to
     128 lanes, the second-to-last to 8 sublanes, and the pipeline holds two
-    buffers per operand (double buffering).
+    buffers per operand (double buffering). The output block is
+    channel-first (n2, ht, w): lanes = w, sublanes = ht.
     """
     n2 = (2 * md + 1) ** 2
     c_pad = _round_up(c, 128)
-    n2_pad = _round_up(n2, 128)
     budget = 11 * 1024 * 1024
     for ht in (64, 32, 16, 8):  # ht >= 2*md so two blocks cover the halo
         if ht > h and ht > 8:
             continue
-        f1_b = ht * _round_up(w, 8) * c_pad * 4
-        f2_b = ht * _round_up(w + 2 * md, 8) * c_pad * 4
-        out_b = ht * _round_up(w, 8) * n2_pad * 4
-        total = 2 * (f1_b + 2 * f2_b + out_b)  # double-buffered
+        f1_b = ht * _round_up(w, 8) * c_pad * bytes_per_el
+        f2_b = ht * _round_up(w + 2 * md, 8) * c_pad * bytes_per_el
+        out_b = n2 * _round_up(ht, 8) * _round_up(w, 128) * bytes_per_el
+        # window concat scratch (ht + 2md rows of the f2 block)
+        win_b = (ht + 2 * md) * _round_up(w + 2 * md, 8) * c_pad * 4
+        total = 2 * (f1_b + 2 * f2_b + out_b) + win_b  # double-buffered
         if total <= budget:
             return ht
     return 8
 
 
-def _cv_pallas_fwd(f1, f2, max_disp, interpret=False):
+def _cv_pallas_fwd(f1, f2, max_disp, interpret=False, relu=False,
+                   channels_first_out=False):
+    """Fused forward. Returns NHWC (B, H, W, D^2) by default; the kernel
+    itself produces channel-first (B, D^2, H, W) (lane-aligned writes) and
+    the NHWC transpose is left to XLA (one pass, usually fused downstream).
+    `relu` fuses the LeakyReLU(0.1) epilogue (IRR_PWC.py:94-95)."""
     b, h, w, c = f1.shape
     md = max_disp
     n2 = (2 * md + 1) ** 2
-    ht = _pick_h_tile(h, w, c, md)
+    ht = _pick_h_tile(h, w, c, md, 2 if f1.dtype == jnp.bfloat16 else 4)
     # pad H to a multiple of the tile; padded rows compute garbage we slice off
     h_pad = -(-h // ht) * ht
     out_dtype = f1.dtype if f1.dtype == jnp.bfloat16 else jnp.float32
@@ -113,8 +138,8 @@ def _cv_pallas_fwd(f1, f2, max_disp, interpret=False):
     f2p = jnp.pad(f2p, ((0, 0), (0, ht), (0, 0), (0, 0)))
     num_h = h_pad // ht
     out = pl.pallas_call(
-        functools.partial(_cv_fwd_kernel, md=md),
-        out_shape=jax.ShapeDtypeStruct((b, h_pad, w, n2), out_dtype),
+        functools.partial(_cv_fwd_kernel, md=md, relu=relu),
+        out_shape=jax.ShapeDtypeStruct((b, n2, h_pad, w), out_dtype),
         grid=(b, num_h),
         in_specs=[
             pl.BlockSpec((1, ht, w, c), lambda bi, hi: (bi, hi, 0, 0),
@@ -124,11 +149,15 @@ def _cv_pallas_fwd(f1, f2, max_disp, interpret=False):
             pl.BlockSpec((1, ht, w + 2 * md, c), lambda bi, hi: (bi, hi + 1, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, ht, w, n2), lambda bi, hi: (bi, hi, 0, 0),
+        out_specs=pl.BlockSpec((1, n2, ht, w), lambda bi, hi: (bi, 0, hi, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((ht + 2 * md, w + 2 * md, c), f1.dtype)],
         interpret=interpret,
     )(f1, f2p, f2p)
-    return out[:, :h] if h_pad != h else out
+    out = out[:, :, :h] if h_pad != h else out
+    if channels_first_out:
+        return out
+    return jnp.transpose(out, (0, 2, 3, 1))
 
 
 def _cv_bwd_xla(res, g, max_disp):
@@ -141,17 +170,23 @@ def _cv_bwd_xla(res, g, max_disp):
     return vjp(g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _cv_pallas(f1, f2, max_disp, interpret):
-    return _cv_pallas_fwd(f1, f2, max_disp, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _cv_pallas(f1, f2, max_disp, interpret, relu):
+    return _cv_pallas_fwd(f1, f2, max_disp, interpret, relu)
 
 
-def _cv_pallas_vjp_fwd(f1, f2, max_disp, interpret):
-    return _cv_pallas_fwd(f1, f2, max_disp, interpret), (f1, f2)
+def _cv_pallas_vjp_fwd(f1, f2, max_disp, interpret, relu):
+    out = _cv_pallas_fwd(f1, f2, max_disp, interpret, relu)
+    return out, (f1, f2, out if relu else None)
 
 
-def _cv_pallas_vjp_bwd(max_disp, interpret, res, g):
-    return _cv_bwd_xla(res, g, max_disp)
+def _cv_pallas_vjp_bwd(max_disp, interpret, relu, res, g):
+    f1, f2, out = res
+    if relu:
+        # LeakyReLU epilogue grad: the fused output preserves the sign of
+        # the pre-activation, so the slope can be recovered from it.
+        g = g * jnp.where(out >= 0, 1.0, 0.1).astype(g.dtype)
+    return _cv_bwd_xla((f1, f2), g, max_disp)
 
 
 _cv_pallas.defvjp(_cv_pallas_vjp_fwd, _cv_pallas_vjp_bwd)
@@ -165,15 +200,24 @@ def _on_tpu() -> bool:
 
 
 def cost_volume_pallas(f1: jnp.ndarray, f2: jnp.ndarray, max_disp: int = 4,
-                       interpret: bool | None = None) -> jnp.ndarray:
+                       interpret: bool | None = None,
+                       relu: bool = False) -> jnp.ndarray:
     """Fused Pallas cost volume (interpreted off-TPU for testability)."""
     if interpret is None:
         interpret = not _on_tpu()
-    return _cv_pallas(f1, f2, max_disp, interpret)
+    return _cv_pallas(f1, f2, max_disp, interpret, relu)
 
 
-def cost_volume(f1: jnp.ndarray, f2: jnp.ndarray, max_disp: int = 4) -> jnp.ndarray:
-    """Dispatching cost volume: fused Pallas kernel on TPU, XLA elsewhere."""
+def cost_volume(f1: jnp.ndarray, f2: jnp.ndarray, max_disp: int = 4,
+                relu: bool = False) -> jnp.ndarray:
+    """Dispatching cost volume: fused Pallas kernel on TPU, XLA elsewhere.
+
+    relu=True fuses the LeakyReLU(0.1) epilogue every model applies to the
+    correlation output (e.g. reference IRR_PWC.py:94-95).
+    """
     if _on_tpu():
-        return cost_volume_pallas(f1, f2, max_disp)
-    return cost_volume_xla(f1, f2, max_disp)
+        return cost_volume_pallas(f1, f2, max_disp, relu=relu)
+    out = cost_volume_xla(f1, f2, max_disp)
+    if relu:
+        out = jnp.where(out >= 0, out, out * 0.1)
+    return out

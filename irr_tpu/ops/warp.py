@@ -36,29 +36,51 @@ def _gather_pixels(x_flat: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray, w: int
     return out.reshape(b, ho, wo, c)
 
 
-def _gather_patches(x: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray) -> jnp.ndarray:
-    """Fetch (2, 2, C) neighborhoods at integer corners (y0, x0).
+def _gather_taps(x: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray):
+    """Fetch the 4 bilinear taps at integer corners (y0, x0).
 
-    x: (B, H, W, C); y0, x0: (B, Ho, Wo) int32 (may be out of range; they
-    are clipped into a zero-padded copy so OOB taps read zeros).
-    Returns (B, Ho, Wo, 2, 2, C)."""
+    x: (B, H, W, C); y0, x0: (B, Ho, Wo) int32 (may be out of range; OOB
+    taps read garbage that the caller's validity masks zero out — exactly
+    like the previous padded-clip formulation).
+    Returns (t00, t01, t10, t11), each (B, Ho, Wo, C) with t<dy><dx>.
+
+    TPU descriptor economics (measured, v5e): XLA gather cost is ~purely
+    per-descriptor (~46M/s for (2,2,C) 2-D-indexed patches, independent of
+    slice bytes/layout/locality). Packing the row pair into channels
+    (rowpair[y, x] = [xp[y, x]; xp[y+1, x]]) lets ONE flat-indexed
+    descriptor of slice (2, 2C) fetch the whole 2x2 footprint — measured
+    1.67x faster (13.5 ns/px vs 21.8 ns/px) for a ~0.2% packing cost.
+    """
     b, h, w, c = x.shape
     ho, wo = y0.shape[1], y0.shape[2]
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # zero-pad by 1 (+1 extra bottom row for the row-pair shift)
+    xpp = jnp.pad(x, ((0, 0), (1, 2), (1, 1), (0, 0)))
+    rp = jnp.concatenate([xpp[:, :-1], xpp[:, 1:]], axis=-1)  # (B,H+2,W+2,2C)
+    rpf = rp.reshape(b, (h + 2) * (w + 2), 2 * c)
     y0c = jnp.clip(y0, -1, h) + 1
     x0c = jnp.clip(x0, -1, w) + 1
-    idx = jnp.stack([y0c, x0c], axis=-1).reshape(b, ho * wo, 2)
+    idx = (y0c * (w + 2) + x0c).reshape(b, ho * wo, 1)
 
     def g(img, ind):
         return jax.lax.gather(
             img, ind,
             jax.lax.GatherDimensionNumbers(
-                offset_dims=(1, 2, 3), collapsed_slice_dims=(),
-                start_index_map=(0, 1)),
-            slice_sizes=(2, 2, c), mode="clip")
+                offset_dims=(1, 2), collapsed_slice_dims=(),
+                start_index_map=(0,)),
+            slice_sizes=(2, 2 * c), mode="clip")
 
-    patches = jax.vmap(g)(xp, idx)
-    return patches.reshape(b, ho, wo, 2, 2, c)
+    taps = jax.vmap(g)(rpf, idx).reshape(b, ho, wo, 2, 2 * c)
+    # axis -2 is the x-offset; the 2C lanes are [dy=0 | dy=1]
+    return (taps[..., 0, :c], taps[..., 1, :c],
+            taps[..., 0, c:], taps[..., 1, c:])
+
+
+def _gather_patches(x: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray) -> jnp.ndarray:
+    """Compat wrapper: (B, Ho, Wo, 2, 2, C) stacked patches."""
+    t00, t01, t10, t11 = _gather_taps(x, y0, x0)
+    top = jnp.stack([t00, t01], axis=-2)
+    bot = jnp.stack([t10, t11], axis=-2)
+    return jnp.stack([top, bot], axis=-3)
 
 
 def _corner_data(x, ix, iy):
@@ -99,12 +121,12 @@ def grid_sample_aligned(x: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp
     iy = iy.astype(jnp.float32)
 
     x0, y0, fx, fy, (m00, m01, m10, m11) = _corner_data(x, ix, iy)
-    p = _gather_patches(x, y0, x0)
+    t00, t01, t10, t11 = _gather_taps(x, y0, x0)
     one = jnp.asarray(1.0, compute_dtype)
-    return (p[..., 0, 0, :] * m00 * (one - fy) * (one - fx)
-            + p[..., 0, 1, :] * m01 * (one - fy) * fx
-            + p[..., 1, 0, :] * m10 * fy * (one - fx)
-            + p[..., 1, 1, :] * m11 * fy * fx)
+    return (t00 * m00 * (one - fy) * (one - fx)
+            + t01 * m01 * (one - fy) * fx
+            + t10 * m10 * fy * (one - fx)
+            + t11 * m11 * fy * fx)
 
 
 def _gs_fwd(x, ix, iy):
@@ -139,11 +161,11 @@ def _gs_bwd(res, g):
     dx = acc.reshape(b, h + 2, w + 2, c)[:, 1:h + 1, 1:w + 1, :]
 
     # ---- d_ix / d_iy: regather patches, differentiate the weights ---------
-    p = _gather_patches(x, y0, x0)
-    v00 = p[..., 0, 0, :] * m00
-    v01 = p[..., 0, 1, :] * m01
-    v10 = p[..., 1, 0, :] * m10
-    v11 = p[..., 1, 1, :] * m11
+    t00, t01, t10, t11 = _gather_taps(x, y0, x0)
+    v00 = t00 * m00
+    v01 = t01 * m01
+    v10 = t10 * m10
+    v11 = t11 * m11
     gd = g
     d_fx = jnp.sum(gd * ((one - fy) * (v01 - v00) + fy * (v11 - v10)), axis=-1)
     d_fy = jnp.sum(gd * ((one - fx) * (v10 - v00) + fx * (v11 - v01)), axis=-1)

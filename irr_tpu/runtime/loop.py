@@ -62,7 +62,8 @@ class TrainingEpoch:
                 for k in sorted(moving_averages))
 
         progress = _progressbar(self._loader, self._desc, total=len(self._loader))
-        for batch in progress:
+        stream_every = max(1, len(self._loader) // 10)
+        for i, batch in enumerate(progress):
             batch = {k: v for k, v in batch.items()
                      if isinstance(v, np.ndarray) and v.dtype != object}
             if self._augmentation is not None:
@@ -72,6 +73,10 @@ class TrainingEpoch:
             if pending is not None:
                 progress.set_postfix(drain(pending))
             pending = (loss_dict, batch_size)
+            # stream bar snapshots into the logbook during the epoch, like
+            # the reference's TqdmToLogger (tools.py:328-378)
+            if (i + 1) % stream_every == 0:
+                _logbook_write(str(progress))
         if pending is not None:
             progress.set_postfix(drain(pending))
         progress.close()
@@ -141,7 +146,10 @@ class EvaluationEpoch:
     def run(self, params, aug_state=None):
         moving_averages = None
         progress = _progressbar(self._loader, self._desc, total=len(self._loader))
-        for batch in progress:
+        stream_every = max(1, len(self._loader) // 10)
+        for i, batch in enumerate(progress):
+            if (i + 1) % stream_every == 0:
+                _logbook_write(str(progress))
             meta = {k: v for k, v in batch.items()
                     if not isinstance(v, np.ndarray) or v.dtype == object}
             batch = {k: v for k, v in batch.items()

@@ -14,6 +14,8 @@ Runs eval-mode forward (the metric's setting) with bf16 conv compute
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -23,6 +25,95 @@ H, W = 436, 1024
 BATCH = 8
 WARMUP = 3
 ITERS = 10
+
+
+def _make_sintel_tree(root, n_frames=33):
+    """Synthesize a one-scene Sintel-layout tree at full resolution so the
+    --with-loader mode exercises the REAL path: PNG decode -> pair chain ->
+    batch stacking -> H2D -> jitted forward (+epe loss). Cached across runs."""
+    scene = os.path.join(root, "clean", "alley_bench")
+    flow = os.path.join(root, "flow", "alley_bench")
+    occ = os.path.join(root, "occlusions_rev", "alley_bench")
+    if os.path.isdir(scene) and len(os.listdir(scene)) >= n_frames:
+        return
+    from PIL import Image
+    for d in (scene, flow, occ):
+        os.makedirs(d, exist_ok=True)
+    rng = np.random.RandomState(0)
+    from irr_tpu.utils.flow_io import write_flo
+    for i in range(1, n_frames + 1):
+        # natural-image-like content (smooth + texture) so PNG decode cost
+        # is representative, not the worst case of incompressible noise
+        base = rng.rand(H // 8, W // 8, 3)
+        img = np.kron(base, np.ones((8, 8, 1)))
+        img = np.clip(img + rng.rand(H, W, 3) * 0.12, 0, 1)
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            os.path.join(scene, "frame_%04d.png" % i))
+        if i < n_frames:
+            write_flo(os.path.join(flow, "frame_%04d.flo" % i),
+                      rng.randn(H, W, 2).astype(np.float32) * 4)
+            o = (rng.rand(H, W) > 0.9).astype(np.uint8) * 255
+            Image.fromarray(o).save(os.path.join(occ, "frame_%04d.png" % i))
+
+
+def run_with_loader():
+    """End-to-end eval pairs/s THROUGH the real loader (VERDICT r1 #5):
+    PNG decode in worker threads overlapping device compute."""
+    import jax
+    import jax.numpy as jnp
+    from irr_tpu import models, losses
+    from irr_tpu.data import SintelTrainingCleanFull
+    from irr_tpu.data.loader import DataLoader
+    from irr_tpu.nn.core import set_compute_dtype
+
+    root = os.environ.get("IRR_BENCH_DATA", "/tmp/irr_bench_sintel")
+    _make_sintel_tree(root)
+
+    set_compute_dtype(jnp.bfloat16)
+    model = models.IRR_PWC()
+    loss_mod = losses.MultiScaleEPE_PWC_Bi_Occ_upsample(
+        batch_size=BATCH, div_flow=0.05)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+
+    dataset = SintelTrainingCleanFull(root=root,
+                                      photometric_augmentations=False)
+
+    @jax.jit
+    def fwd(p, b):
+        out = model.apply(p, b, training=False)
+        ld = loss_mod(out, b, training=False)
+        return ld["epe"]
+
+    def epoch():
+        loader = DataLoader(dataset, batch_size=BATCH, shuffle=False,
+                            num_workers=6, drop_last=True, prefetch=3)
+        pend = None
+        n = 0
+        for batch in loader:
+            b = {"input1": jnp.asarray(batch["input1"]),
+                 "input2": jnp.asarray(batch["input2"]),
+                 "target1": jnp.asarray(batch["target1"]),
+                 "target_occ1": jnp.asarray(batch["target_occ1"])}
+            e = fwd(params, b)
+            if pend is not None:
+                float(np.asarray(pend))
+            pend = e
+            n += BATCH
+        float(np.asarray(pend))
+        return n
+
+    epoch()  # warmup: jit compile + page cache
+    t0 = time.perf_counter()
+    n = epoch()
+    dt = time.perf_counter() - t0
+    pairs_per_sec = n / dt
+    print(json.dumps({
+        "metric": "IRR-PWC eval pairs/sec/chip end-to-end through loader "
+                  "@ Sintel 1024x436 (bf16)",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / BASELINE_A100_PAIRS_PER_SEC, 3),
+    }))
 
 
 def main():
@@ -67,4 +158,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--with-loader" in sys.argv:
+        run_with_loader()
+    else:
+        main()

@@ -130,38 +130,72 @@ def grid_sample_aligned(x: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp
 
 
 def _gs_fwd(x, ix, iy):
-    return grid_sample_aligned.__wrapped__(x, ix, iy), (x, ix, iy)
+    # recompute the forward INLINE so the taps become VJP residuals: the
+    # backward then needs NO regather (a full descriptor-rate gather saved;
+    # the tap tensors cost 4C/px of activation memory, ~0.4 ms of HBM
+    # traffic where the regather costs tens of ms of descriptor time)
+    compute_dtype = x.dtype
+    x0, y0, fx, fy, (m00, m01, m10, m11) = _corner_data(x, ix, iy)
+    t00, t01, t10, t11 = _gather_taps(x, y0, x0)
+    one = jnp.asarray(1.0, compute_dtype)
+    out = (t00 * m00 * (one - fy) * (one - fx)
+           + t01 * m01 * (one - fy) * fx
+           + t10 * m10 * fy * (one - fx)
+           + t11 * m11 * fy * fx)
+    return out, (x, ix, iy, (t00, t01, t10, t11))
 
 
 def _gs_bwd(res, g):
-    x, ix, iy = res
+    x, ix, iy, taps_saved = res
     b, h, w, c = x.shape
     ho, wo = ix.shape[1], ix.shape[2]
     dt = x.dtype
     g = g.astype(dt)
-    x0, y0, fx, fy, (m00, m01, m10, m11) = _corner_data(x, ix, iy)
+
+    x0f = jnp.floor(ix.astype(jnp.float32))
+    y0f = jnp.floor(iy.astype(jnp.float32))
+    fx = (ix.astype(jnp.float32) - x0f).astype(dt)[..., None]
+    fy = (iy.astype(jnp.float32) - y0f).astype(dt)[..., None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    def valid(yc, xc):
+        return ((yc >= 0) & (yc < h) & (xc >= 0) & (xc < w)).astype(dt)[..., None]
+
+    m00 = valid(y0, x0)
+    m01 = valid(y0, x0 + 1)
+    m10 = valid(y0 + 1, x0)
+    m11 = valid(y0 + 1, x0 + 1)
     one = jnp.asarray(1.0, dt)
     w00 = m00 * (one - fy) * (one - fx)
     w01 = m01 * (one - fy) * fx
     w10 = m10 * fy * (one - fx)
     w11 = m11 * fy * fx
 
-    # ---- d_x: segment-sum accumulation over flattened pixel ids -----------
-    # (measured ~5.5x faster than lax.scatter_add on TPU v5e)
+    # ---- d_x: quad-packed segment-sum -------------------------------------
+    # ONE segment id per pixel scatters a 4C-channel block holding all four
+    # tap contributions; static shifts fold the quadrants back. segment_sum
+    # cost is per-ITEM (like gather's per-descriptor cost), so packing the
+    # quad is ~4x fewer scatter items than the previous 4 separate
+    # segment_sums (which were themselves ~5.5x faster than scatter_add).
     y0c = (jnp.clip(y0, -1, h) + 1).reshape(b, ho * wo)
     x0c = (jnp.clip(x0, -1, w) + 1).reshape(b, ho * wo)
     stride_b = (h + 2) * (w + 2)
     base = jnp.arange(b, dtype=jnp.int32)[:, None] * stride_b
-    acc = jnp.zeros((b * stride_b, c), dt)
-    taps = {(0, 0): g * w00, (0, 1): g * w01, (1, 0): g * w10, (1, 1): g * w11}
-    for (da, db), val in taps.items():
-        ids = (base + (y0c + da) * (w + 2) + (x0c + db)).reshape(-1)
-        acc = acc + jax.ops.segment_sum(val.reshape(-1, c), ids,
-                                        num_segments=b * stride_b)
-    dx = acc.reshape(b, h + 2, w + 2, c)[:, 1:h + 1, 1:w + 1, :]
+    ids = (base + y0c * (w + 2) + x0c).reshape(-1)
+    vals = jnp.concatenate([g * w00, g * w01, g * w10, g * w11],
+                           axis=-1).reshape(-1, 4 * c)
+    acc = jax.ops.segment_sum(vals, ids, num_segments=b * stride_b)
+    acc = acc.reshape(b, h + 2, w + 2, 4, c)
+    # quadrant (dy,dx) stored at base (y0c, x0c) contributes to image pixel
+    # (y0+dy, x0+dx) = padded (y0c+dy, x0c+dx); read back with the shifts
+    dx = (acc[:, 1:h + 1, 1:w + 1, 0]
+          + acc[:, 1:h + 1, 0:w, 1]
+          + acc[:, 0:h, 1:w + 1, 2]
+          + acc[:, 0:h, 0:w, 3])
 
-    # ---- d_ix / d_iy: regather patches, differentiate the weights ---------
-    t00, t01, t10, t11 = _gather_taps(x, y0, x0)
+    # ---- d_ix / d_iy: saved taps, differentiate the weights ---------------
+    t00, t01, t10, t11 = taps_saved
     v00 = t00 * m00
     v01 = t01 * m01
     v10 = t10 * m10

@@ -147,6 +147,24 @@ class EvaluationEpoch:
         moving_averages = None
         progress = _progressbar(self._loader, self._desc, total=len(self._loader))
         stream_every = max(1, len(self._loader) // 10)
+        pending = None  # (loss_dict device arrays, batch_size): delayed fetch
+
+        def drain(p):
+            # fetch the PREVIOUS batch's losses while the current batch is
+            # in flight on device — same async pattern as TrainingEpoch
+            # (the reference reads every batch synchronously,
+            # runtime.py:436-448; a per-batch device sync caps throughput)
+            nonlocal moving_averages
+            ld, bs = p
+            loss_vals = _fetch_floats(ld)
+            if moving_averages is None:
+                moving_averages = {k: MovingAverage() for k in loss_vals}
+            for k, v in loss_vals.items():
+                moving_averages[k].add_average(v, addcount=bs)
+            return collections.OrderedDict(
+                (k + "_avg", "%1.4f" % moving_averages[k].mean())
+                for k in sorted(moving_averages))
+
         for i, batch in enumerate(progress):
             if (i + 1) % stream_every == 0:
                 _logbook_write(str(progress))
@@ -162,14 +180,11 @@ class EvaluationEpoch:
                 meta.setdefault("basename", [str(i) for i in batch.get(
                     "index", range(batch_size))])
                 self.save_outputs(meta, output_dict)
-            loss_vals = _fetch_floats(loss_dict)
-            if moving_averages is None:
-                moving_averages = {k: MovingAverage() for k in loss_vals}
-            for k, v in loss_vals.items():
-                moving_averages[k].add_average(v, addcount=batch_size)
-            progress.set_postfix(collections.OrderedDict(
-                (k + "_avg", "%1.4f" % moving_averages[k].mean())
-                for k in sorted(moving_averages)))
+            if pending is not None:
+                progress.set_postfix(drain(pending))
+            pending = (loss_dict, batch_size)
+        if pending is not None:
+            progress.set_postfix(drain(pending))
         progress.close()
         _logbook_write(str(progress))
         return {k: m.mean() for k, m in (moving_averages or {}).items()}

@@ -79,7 +79,7 @@ def main():
         rec("no pwc masks (ones)", run())
 
     # 3. no cost volume (broadcast stand-in)
-    fake_cv = lambda f1, f2, md=4: jnp.broadcast_to(
+    fake_cv = lambda f1, f2, md=4, relu=False: jnp.broadcast_to(
         jnp.mean(f1, axis=-1, keepdims=True),
         f1.shape[:3] + ((2 * md + 1) ** 2,))
     with mock.patch.object(m_irr, "cost_volume", fake_cv):
@@ -119,10 +119,25 @@ def main():
          mock.patch.object(model, "occ_context_networks", FakeCtx(1)):
         rec("no estimator+context towers", run())
 
+    # 6b. separate flow towers / occ towers / context nets
+    with mock.patch.object(model, "flow_estimators", FakeEst(2)):
+        rec("no flow estimator tower", run())
+    with mock.patch.object(model, "occ_estimators", FakeEst(1)):
+        rec("no occ estimator tower", run())
+    with mock.patch.object(model, "context_networks", FakeCtx(2)), \
+         mock.patch.object(model, "occ_context_networks", FakeCtx(1)):
+        rec("no context networks", run())
+
+    # 6c. no feature extractor (broadcast pyramid stand-in is hard; instead
+    # time the extractor alone)
+    def extractor_only(p, b):
+        x = jnp.concatenate([b["input1"], b["input2"]], axis=0)
+        return model.feature_pyramid_extractor(p["feature_pyramid_extractor"], x)
+    rec("extractor alone (x2 images)", timeit_once(extractor_only, params, batch))
+
     # 7. f32 heads forced to bf16 (measures the dtype-switch cost)
     from irr_tpu.nn import core as nn_core
-    orig = nn_core.compute_dtype
-    with mock.patch.object(nn_core, "compute_dtype", lambda: jnp.bfloat16):
+    with mock.patch.object(nn_core, "head_dtype", lambda cout: jnp.bfloat16):
         rec("heads in bf16 too", run())
 
 

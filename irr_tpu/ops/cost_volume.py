@@ -7,19 +7,19 @@ for displacement (dy, dx) in [-max_disp, max_disp]^2 (row-major order),
 with zero padding of f2, k = (dy + max_disp) * (2*max_disp+1) + (dx + max_disp).
 
 Two implementations:
-  - `cost_volume_xla`: 81 static shifted elementwise products; correct,
-    differentiable via autodiff, lets XLA fuse. Used on CPU and as the
-    golden reference in tests. A fused XLA kernel re-reads f1 once per
-    output channel (81x HBM traffic), hence:
+  - `cost_volume_xla`: 81 static shifted elementwise products,
+    differentiable via autodiff. XLA fuses the pad/slice/multiply/mean
+    chain into tiled register-resident loops — measured (in-graph, v5e)
+    ~6x faster than the hand Pallas kernel below, so this is the
+    production path on every backend (see `cost_volume` docstring).
   - `cost_volume_pallas`: fused Pallas TPU kernel — one pass over a VMEM
     tile of f1 and a haloed window of padded f2 (assembled from two
-    adjacent pipelined blocks) produces all 81 channels: ~2x HBM reads of
-    each feature map instead of 81x.
-    Custom VJP whose backward is the two correlation-style shift-gathers
-    (same math as the reference CUDA backward,
-    correlation_cuda_kernel.cu:117-300, expressed as XLA pad/slice adds).
+    adjacent pipelined blocks) produces all 81 channels (channel-first)
+    with an optional fused LeakyReLU epilogue. Kept tested-but-unused:
+    its 81 unaligned (ht, w, c) window slices each relayout through the
+    VPU, which currently loses to XLA's fusion.
 
-`cost_volume` dispatches to the Pallas kernel on TPU, XLA otherwise.
+`cost_volume` dispatches to the XLA formulation everywhere.
 """
 
 import functools
@@ -210,13 +210,21 @@ def cost_volume_pallas(f1: jnp.ndarray, f2: jnp.ndarray, max_disp: int = 4,
 
 def cost_volume(f1: jnp.ndarray, f2: jnp.ndarray, max_disp: int = 4,
                 relu: bool = False) -> jnp.ndarray:
-    """Dispatching cost volume: fused Pallas kernel on TPU, XLA elsewhere.
+    """Cost volume with optional fused LeakyReLU(0.1) epilogue (the model
+    applies it to every correlation output, reference IRR_PWC.py:94-95).
 
-    relu=True fuses the LeakyReLU(0.1) epilogue every model applies to the
-    correlation output (e.g. reference IRR_PWC.py:94-95).
+    Dispatches to the XLA shift-product formulation on ALL backends: when
+    measured in-graph on TPU v5e (scan-loop repetition, scalar sync — NOT
+    standalone dispatch, which is dominated by tunnel overhead and full
+    result transfer), XLA's fusion of the 81 static shifted products beats
+    the hand-written Pallas kernel ~6x (0.96 ms vs 6.0 ms at B=8
+    112x256x32 bf16), and the full IRR_PWC eval forward is 45 ms faster.
+    XLA keeps the products in registers and fuses the LeakyReLU + mean;
+    the Pallas kernel's unaligned static window slices relayout each of
+    the 81 (ht, w, c) tiles through the VPU. `cost_volume_pallas` remains
+    available (tested) as the starting point if Mosaic gains cheap
+    unaligned sublane slicing.
     """
-    if _on_tpu():
-        return cost_volume_pallas(f1, f2, max_disp, relu=relu)
     out = cost_volume_xla(f1, f2, max_disp)
     if relu:
         out = jnp.where(out >= 0, out, out * 0.1)

@@ -44,8 +44,8 @@ def _make_sintel_tree(root, n_frames=33):
     for i in range(1, n_frames + 1):
         # natural-image-like content (smooth + texture) so PNG decode cost
         # is representative, not the worst case of incompressible noise
-        base = rng.rand(H // 8, W // 8, 3)
-        img = np.kron(base, np.ones((8, 8, 1)))
+        base = rng.rand(-(-H // 8), -(-W // 8), 3)
+        img = np.kron(base, np.ones((8, 8, 1)))[:H, :W]
         img = np.clip(img + rng.rand(H, W, 3) * 0.12, 0, 1)
         Image.fromarray((img * 255).astype(np.uint8)).save(
             os.path.join(scene, "frame_%04d.png" % i))
@@ -78,8 +78,11 @@ def run_with_loader():
     dataset = SintelTrainingCleanFull(root=root,
                                       photometric_augmentations=False)
 
+    from irr_tpu.nn.core import normalize_image_batch
+
     @jax.jit
     def fwd(p, b):
+        b = normalize_image_batch(b)
         out = model.apply(p, b, training=False)
         ld = loss_mod(out, b, training=False)
         return ld["epe"]

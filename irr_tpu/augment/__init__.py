@@ -264,9 +264,14 @@ class _AffineAugBase:
         self._args = args
         self._addnoise = bool(addnoise)
         self._crop = tuple(int(c) for c in crop) if crop else None
-        self._jitted = jax.jit(functools.partial(self._body,
-                                                 addnoise=self._addnoise,
-                                                 crop=self._crop))
+
+        def run(batch, key, *, _body=self._body, _an=self._addnoise,
+                _cr=self._crop):
+            from ..nn.core import normalize_image_batch
+            return _body(normalize_image_batch(batch), key,
+                         addnoise=_an, crop=_cr)
+
+        self._jitted = jax.jit(run)
 
     def __call__(self, batch, key=None):
         if key is None:

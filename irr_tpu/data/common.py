@@ -43,6 +43,17 @@ def read_occ_image_as_float32(filename) -> np.ndarray:
     return occ[:, :, None]
 
 
+def read_occ_image_as_uint8(filename) -> np.ndarray:
+    """(H, W, 1) uint8 occlusion map (values 0/255). Ships 4x fewer
+    host->device bytes than the float reader; the device step divides by
+    255 in-graph (nn/core.py:normalize_image_batch) — bit-identical to
+    read_occ_image_as_float32."""
+    occ = np.asarray(Image.open(filename))
+    if occ.ndim == 3:
+        occ = occ[:, :, 0]
+    return np.asarray(occ, np.uint8)[:, :, None]
+
+
 def read_png16_rgb(filename) -> np.ndarray:
     """Read a 16-bit RGB PNG -> (H, W, 3) uint16.
 

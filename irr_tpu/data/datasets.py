@@ -138,8 +138,8 @@ class FlyingChairsOcc(Dataset):
         im2 = common.read_image_as_byte(self._image_list[index][1])
         flo_f = common.read_flo(self._flow_list[index][0])
         flo_b = common.read_flo(self._flow_list[index][1])
-        o1 = common.read_occ_image_as_float32(self._occ_list[index][0])
-        o2 = common.read_occ_image_as_float32(self._occ_list[index][1])
+        o1 = common.read_occ_image_as_uint8(self._occ_list[index][0])
+        o2 = common.read_occ_image_as_uint8(self._occ_list[index][1])
         im1, im2 = self._photo(im1, im2, rng=self._example_rng(index))
         return {
             "input1": im1, "input2": im2,
@@ -212,8 +212,8 @@ class FlyingThings3d(Dataset):
         im2 = common.read_image_as_byte(self._image_list[index][1])
         flo_f = common.read_flo(self._flow_list[index][0])
         flo_b = common.read_flo(self._flow_list[index][1])
-        o1 = common.read_occ_image_as_float32(self._occ_list[index][0])
-        o2 = common.read_occ_image_as_float32(self._occ_list[index][1])
+        o1 = common.read_occ_image_as_uint8(self._occ_list[index][0])
+        o2 = common.read_occ_image_as_uint8(self._occ_list[index][1])
         if np.any(np.isnan(flo_f)):
             flo_f = filling_in_nan(flo_f)
         if np.any(np.isnan(flo_b)):
@@ -324,7 +324,7 @@ class _Sintel(Dataset):
         im1 = common.read_image_as_byte(im1_fn)
         im2 = common.read_image_as_byte(im2_fn)
         flo = common.read_flo(self._flow_list[index])
-        occ = common.read_occ_image_as_float32(self._occ_list[index])
+        occ = common.read_occ_image_as_uint8(self._occ_list[index])
         im1, im2 = self._photo(im1, im2, rng=self._example_rng(index))
         basedir = os.path.splitext(os.path.dirname(im1_fn).replace(self._subtract_base, "")[1:])[0]
         return {

@@ -183,8 +183,10 @@ class PhotometricPair:
 
     def __call__(self, im1_byte, im2_byte, rng=None):
         if not self.enabled:
-            return (im1_byte.astype(np.float32) / 255.0,
-                    im2_byte.astype(np.float32) / 255.0)
+            # stay uint8: the device step normalizes in-graph
+            # (nn/core.py:normalize_image_batch), quartering H2D bytes
+            return (np.asarray(im1_byte, np.uint8),
+                    np.asarray(im2_byte, np.uint8))
         h = im1_byte.shape[0]
         both = np.concatenate([np.asarray(im1_byte, np.uint8),
                                np.asarray(im2_byte, np.uint8)], axis=0)

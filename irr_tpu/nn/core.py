@@ -43,6 +43,22 @@ def leaky_relu(x, negative_slope=0.1):
     return jnp.where(x >= 0, x, x * negative_slope)
 
 
+def normalize_image_batch(batch):
+    """In-graph uint8 image -> float32/255 normalization.
+
+    The loader ships images as uint8 when no host-side photometric
+    transform runs (data/transforms.py PhotometricPair disabled path),
+    quartering host->device bytes; uint8->f32 conversion is exact and the
+    on-device f32 divide produces bit-identical values to the host path.
+    """
+    out = dict(batch)
+    for k in ("input1", "input2", "target_occ1", "target_occ2"):
+        v = out.get(k)
+        if v is not None and v.dtype == jnp.uint8:
+            out[k] = v.astype(jnp.float32) / np.float32(255.0)
+    return out
+
+
 def safe_norm(x, axis=-1, keepdims=True):
     """L2 norm with torch's subgradient-0-at-0 convention.
 

@@ -13,6 +13,7 @@ import jax
 import optax
 
 from .mesh import batch_sharding, replicated_sharding
+from ..nn.core import normalize_image_batch
 
 
 class TrainState(NamedTuple):
@@ -31,6 +32,8 @@ def make_train_step(model, loss_fn, optimizer, mesh=None, donate=True):
     """
 
     def step(state, batch):
+        batch = normalize_image_batch(batch)
+
         def loss_of(params):
             out = model.apply(params, batch, training=True)
             ld = loss_fn(out, batch, training=True)
@@ -56,6 +59,7 @@ def make_eval_step(model, loss_fn, mesh=None):
     """Returns jitted `eval_step(params, batch) -> (loss_dict, output_dict)`."""
 
     def step(params, batch):
+        batch = normalize_image_batch(batch)
         out = model.apply(params, batch, training=False)
         ld = loss_fn(out, batch, training=False)
         return ld, out

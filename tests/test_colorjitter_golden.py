@@ -103,5 +103,9 @@ def test_pair_disabled_passthrough():
     im1 = rng.randint(0, 256, (32, 24, 3), dtype=np.uint8)
     im2 = rng.randint(0, 256, (32, 24, 3), dtype=np.uint8)
     o1, o2 = PhotometricPair(enabled=False)(im1, im2)
-    np.testing.assert_allclose(o1, im1.astype(np.float32) / 255.0)
-    np.testing.assert_allclose(o2, im2.astype(np.float32) / 255.0)
+    # disabled path keeps uint8 (device normalizes in-graph; see
+    # nn/core.py:normalize_image_batch and its bit-exactness test in
+    # test_data.py::test_photometric_disabled_is_tototensor)
+    assert o1.dtype == np.uint8 and o2.dtype == np.uint8
+    np.testing.assert_array_equal(o1, im1)
+    np.testing.assert_array_equal(o2, im2)

@@ -5,6 +5,7 @@ import os
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 from PIL import Image
 
 from irr_tpu.data import common, DataLoader
@@ -69,8 +70,14 @@ def test_chairs_occ_split(tmp_path):
     assert ex["input1"].shape == (32, 48, 3)
     assert ex["target1"].shape == (32, 48, 2)
     assert ex["target_occ1"].shape == (32, 48, 1)
-    assert ex["input1"].dtype == np.float32
-    assert 0.0 <= ex["input1"].min() and ex["input1"].max() <= 1.0
+    # images stay uint8 when no photometric transform runs; the device
+    # step normalizes in-graph (nn/core.py:normalize_image_batch)
+    assert ex["input1"].dtype == np.uint8
+    from irr_tpu.nn.core import normalize_image_batch
+    normed = normalize_image_batch({"input1": jnp.asarray(ex["input1"])})
+    assert normed["input1"].dtype == jnp.float32
+    assert 0.0 <= float(normed["input1"].min())
+    assert float(normed["input1"].max()) <= 1.0
 
 
 def test_loader_batches_and_shuffle_determinism(tmp_path):
@@ -104,7 +111,12 @@ def test_photometric_disabled_is_tototensor():
     im = (np.arange(16 * 16 * 3).reshape(16, 16, 3) % 255).astype(np.uint8)
     photo = PhotometricPair(enabled=False)
     a, _ = photo(im, im)
-    np.testing.assert_allclose(a, im.astype(np.float32) / 255.0)
+    # disabled path ships uint8; the in-graph normalization must reproduce
+    # the reference's ToTensor (f32/255) bit-for-bit
+    assert a.dtype == np.uint8
+    from irr_tpu.nn.core import normalize_image_batch
+    normed = np.asarray(normalize_image_batch({"input1": jnp.asarray(a)})["input1"])
+    np.testing.assert_array_equal(normed, im.astype(np.float32) / np.float32(255.0))
 
 
 def test_native_png16_decoder_matches_python(tmp_path):

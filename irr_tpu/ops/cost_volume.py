@@ -31,7 +31,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def cost_volume_xla(f1: jnp.ndarray, f2: jnp.ndarray, max_disp: int = 4) -> jnp.ndarray:
-    """NHWC cost volume via static shifts. f1, f2: (B, H, W, C) -> (B, H, W, D^2)."""
+    """NHWC cost volume via static shifts. f1, f2: (B, H, W, C) -> (B, H, W, D^2).
+
+    The per-shift means are stacked CHANNEL-FIRST (axis=1) and transposed
+    once at the end: stacking on the last axis would broadcast each
+    (B, H, W) mean to (B, H, W, 1), a layout whose single-lane channel is
+    tile-padded 128x — at B=16 Sintel scale XLA's remat materialized 81
+    such 218 MB copies (1.7 MB unpadded) and blew HBM.
+    """
     b, h, w, c = f1.shape
     md = max_disp
     f2p = jnp.pad(f2, ((0, 0), (md, md), (md, md), (0, 0)))
@@ -40,7 +47,7 @@ def cost_volume_xla(f1: jnp.ndarray, f2: jnp.ndarray, max_disp: int = 4) -> jnp.
         for j in range(2 * md + 1):
             prod = f1 * f2p[:, i:i + h, j:j + w, :]
             outs.append(jnp.mean(prod, axis=-1))
-    return jnp.stack(outs, axis=-1)
+    return jnp.moveaxis(jnp.stack(outs, axis=1), 1, -1)
 
 
 # ---------------------------------------------------------------------------

@@ -21,11 +21,12 @@ import jax.numpy as jnp
 
 def _sync(out):
     leaf = jax.tree_util.tree_leaves(out)[0]
-    return float(leaf.ravel()[0])
+    return float(leaf.ravel()[0])  # jax-array scalar index: 1-element transfer
 
 
 def timeit_once(fn, *args, iters=5):
-    jfn = jax.jit(fn)
+    # fresh lambda: pjit caches on function identity, mocks need a retrace
+    jfn = jax.jit(lambda *a, _f=fn: _f(*a))
     _sync(jfn(*args))
     _sync(jfn(*args))
     t0 = time.perf_counter()

@@ -12,6 +12,7 @@ Differences from the reference's eager loop, by design:
 import collections
 import logging
 import os
+import time
 
 import numpy as np
 
@@ -30,6 +31,55 @@ def _progressbar(iterable, desc, total=None, unit="it"):
 
 def _fetch_floats(loss_dict):
     return {k: float(v) for k, v in loss_dict.items()}
+
+
+class StageTimers:
+    """Per-epoch wall-clock split (--profile): where an epoch's time goes.
+
+    Stages: data  = waiting on the loader (host decode/stack),
+            aug   = on-device augmentation dispatch,
+            step  = jitted step dispatch (enqueue; async),
+            drain = device->host loss fetch = time actually blocked on the
+                    accelerator. data-bound epochs show large `data`;
+                    device-bound epochs show large `drain`.
+    """
+
+    def __init__(self, enabled):
+        self.enabled = enabled
+        self.t = collections.defaultdict(float)
+
+    class _Span:
+        def __init__(self, timers, key):
+            self._timers, self._key = timers, key
+
+        def __enter__(self):
+            self._t0 = time.perf_counter()
+
+        def __exit__(self, *exc):
+            self._timers.t[self._key] += time.perf_counter() - self._t0
+
+    def span(self, key):
+        return self._Span(self, key) if self.enabled else _NULL_SPAN
+
+    def log(self, desc, n_batches):
+        if not self.enabled or not n_batches:
+            return
+        total = sum(self.t.values())
+        parts = "  ".join("%s %.2fs (%.0f%%)" % (k, v, 100 * v / max(total, 1e-9))
+                          for k, v in sorted(self.t.items()))
+        logging.info("[profile] %s: %d batches, %.2fs accounted: %s",
+                     desc, n_batches, total, parts)
+
+
+class _NullSpan:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+_NULL_SPAN = _NullSpan()
 
 
 class TrainingEpoch:
@@ -61,26 +111,50 @@ class TrainingEpoch:
                 (k + "_ema", "%1.4f" % moving_averages[k].mean())
                 for k in sorted(moving_averages))
 
+        timers = StageTimers(getattr(self._args, "profile", False))
+        trace_dir = getattr(self._args, "profile_trace_dir", None)
         progress = _progressbar(self._loader, self._desc, total=len(self._loader))
         stream_every = max(1, len(self._loader) // 10)
-        for i, batch in enumerate(progress):
+        it = enumerate(progress)
+        n = 0
+        while True:
+            with timers.span("data"):
+                try:
+                    i, batch = next(it)
+                except StopIteration:
+                    break
+            n += 1
+            if trace_dir and i == 2:
+                import jax
+                jax.profiler.start_trace(trace_dir)
             batch = {k: v for k, v in batch.items()
                      if isinstance(v, np.ndarray) and v.dtype != object}
             if self._augmentation is not None:
-                batch, aug_state = self._augmentation(batch, aug_state)
+                with timers.span("aug"):
+                    batch, aug_state = self._augmentation(batch, aug_state)
             batch_size = batch["input1"].shape[0]
-            state, loss_dict = self._step_fn(state, batch)
+            with timers.span("step"):
+                state, loss_dict = self._step_fn(state, batch)
             if pending is not None:
-                progress.set_postfix(drain(pending))
+                with timers.span("drain"):
+                    progress.set_postfix(drain(pending))
             pending = (loss_dict, batch_size)
+            if trace_dir and i == 5:
+                import jax
+                with timers.span("drain"):
+                    _fetch_floats(loss_dict)  # complete traced steps
+                jax.profiler.stop_trace()
+                trace_dir = None
             # stream bar snapshots into the logbook during the epoch, like
             # the reference's TqdmToLogger (tools.py:328-378)
             if (i + 1) % stream_every == 0:
                 _logbook_write(str(progress))
         if pending is not None:
-            progress.set_postfix(drain(pending))
+            with timers.span("drain"):
+                progress.set_postfix(drain(pending))
         progress.close()
         _logbook_write(str(progress))
+        timers.log(self._desc, n)
 
         ema = {k: m.mean() for k, m in (moving_averages or {}).items()}
         return state, ema, aug_state
@@ -165,7 +239,16 @@ class EvaluationEpoch:
                 (k + "_avg", "%1.4f" % moving_averages[k].mean())
                 for k in sorted(moving_averages))
 
-        for i, batch in enumerate(progress):
+        timers = StageTimers(getattr(self._args, "profile", False))
+        it = enumerate(progress)
+        n = 0
+        while True:
+            with timers.span("data"):
+                try:
+                    i, batch = next(it)
+                except StopIteration:
+                    break
+            n += 1
             if (i + 1) % stream_every == 0:
                 _logbook_write(str(progress))
             meta = {k: v for k, v in batch.items()
@@ -173,20 +256,26 @@ class EvaluationEpoch:
             batch = {k: v for k, v in batch.items()
                      if isinstance(v, np.ndarray) and v.dtype != object}
             if self._augmentation is not None:
-                batch, aug_state = self._augmentation(batch, aug_state)
+                with timers.span("aug"):
+                    batch, aug_state = self._augmentation(batch, aug_state)
             batch_size = batch["input1"].shape[0]
-            loss_dict, output_dict = self._eval_fn(params, batch)
+            with timers.span("step"):
+                loss_dict, output_dict = self._eval_fn(params, batch)
             if self._save_output:
-                meta.setdefault("basename", [str(i) for i in batch.get(
-                    "index", range(batch_size))])
-                self.save_outputs(meta, output_dict)
+                with timers.span("save"):
+                    meta.setdefault("basename", [str(i) for i in batch.get(
+                        "index", range(batch_size))])
+                    self.save_outputs(meta, output_dict)
             if pending is not None:
-                progress.set_postfix(drain(pending))
+                with timers.span("drain"):
+                    progress.set_postfix(drain(pending))
             pending = (loss_dict, batch_size)
         if pending is not None:
-            progress.set_postfix(drain(pending))
+            with timers.span("drain"):
+                progress.set_postfix(drain(pending))
         progress.close()
         _logbook_write(str(progress))
+        timers.log(self._desc, n)
         return {k: m.mean() for k, m in (moving_averages or {}).items()}
 
 

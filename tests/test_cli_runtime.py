@@ -54,10 +54,14 @@ def test_main_train_and_eval(chairs_root, tmp_path):
         "--num_workers=1",
         "--data_parallel_devices=1",
         f"--save={save}",
+        "--profile=True",
     ]
     best = main_module.main(argv)
     assert np.isfinite(best)
     assert os.path.isfile(os.path.join(save, "logbook.txt"))
+    with open(os.path.join(save, "logbook.txt")) as f:
+        logbook = f.read()
+    assert "[profile]" in logbook  # --profile stage timers reach the logbook
     assert os.path.isfile(os.path.join(save, "args.txt"))
     assert os.path.isfile(os.path.join(save, "checkpoint_latest.ckpt"))
     assert os.path.isfile(os.path.join(save, "checkpoint_best.ckpt"))

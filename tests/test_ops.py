@@ -147,6 +147,41 @@ def test_grid_sample_aligned_matches_torch():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_grid_sample_aligned_grad_matches_torch():
+    """Custom VJP parity: d_x (quad-packed scatter), d_ix/d_iy (saved-tap
+    weight grads) vs torch.grid_sample autograd. Coords avoid exact
+    integers (floor() kink: subgradient choice differs legitimately)."""
+    h, w = 9, 11
+    x = _rand(2, h, w, 4, seed=21)
+    rng = np.random.RandomState(22)
+    ix = rng.uniform(-3, 13, size=(2, h, w)).astype(np.float32)
+    iy = rng.uniform(-3, 11, size=(2, h, w)).astype(np.float32)
+    # keep every query off integer grid lines by at least 1e-3
+    ix = np.where(np.abs(ix - np.round(ix)) < 1e-3, ix + 0.01, ix)
+    iy = np.where(np.abs(iy - np.round(iy)) < 1e-3, iy + 0.01, iy)
+    wloss = rng.randn(2, h, w, 4).astype(np.float32)
+
+    def jloss(xx, jx, jy):
+        return jnp.sum(ops.grid_sample_aligned(xx, jx, jy) * wloss)
+
+    gx_j, gix_j, giy_j = jax.grad(jloss, argnums=(0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(ix), jnp.asarray(iy))
+
+    t = _nchw(x).requires_grad_(True)
+    gxn = torch.from_numpy(2 * ix / (w - 1) - 1).requires_grad_(True)
+    gyn = torch.from_numpy(2 * iy / (h - 1) - 1).requires_grad_(True)
+    grid = torch.stack([gxn, gyn], dim=-1)
+    out = tf.grid_sample(t, grid, align_corners=True)
+    (out * _nchw(wloss)).sum().backward()
+
+    np.testing.assert_allclose(np.asarray(gx_j), _to_nhwc(t.grad), atol=1e-4)
+    # chain rule: ix = ((gxn+1)/2)*(w-1)  =>  d/d ix = d/d gxn * 2/(w-1)
+    np.testing.assert_allclose(np.asarray(gix_j),
+                               gxn.grad.numpy() * 2.0 / (w - 1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(giy_j),
+                               gyn.grad.numpy() * 2.0 / (h - 1), atol=1e-4)
+
+
 def test_warp_masked_matches_torch_reference_composition():
     """Full PWC WarpingLayer parity: grid_sample + warped-ones mask>=1."""
     div_flow = 0.05

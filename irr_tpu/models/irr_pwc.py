@@ -19,7 +19,7 @@ stack by the flow stack yields [warp(x2, flow_f); warp(x1, flow_b)].
 import jax
 import jax.numpy as jnp
 
-from ..nn.core import Module, Conv, leaky_relu, cat_features
+from ..nn.core import Module, Conv, cat_features
 from ..nn.pwc import (FeatureExtractor, FlowEstimatorDense, OccEstimatorDense,
                       ContextNetwork, OccContextNetwork)
 from ..nn.irr import OccUpsampleNetwork, RefineFlow, RefineOcc

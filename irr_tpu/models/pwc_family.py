@@ -16,7 +16,7 @@ the IRR property. NHWC everywhere.
 import jax
 import jax.numpy as jnp
 
-from ..nn.core import Module, Conv, leaky_relu, cat_features
+from ..nn.core import Module, Conv, cat_features
 from ..nn.pwc import (FeatureExtractor, FlowEstimatorDense, OccEstimatorDense,
                       ContextNetwork, OccContextNetwork)
 from ..ops.cost_volume import cost_volume

@@ -234,5 +234,6 @@ def cost_volume(f1: jnp.ndarray, f2: jnp.ndarray, max_disp: int = 4,
     """
     out = cost_volume_xla(f1, f2, max_disp)
     if relu:
-        out = jnp.where(out >= 0, out, out * 0.1)
+        from ..nn.core import leaky_relu
+        out = leaky_relu(out)
     return out

@@ -10,13 +10,17 @@ Mirrors two distinct reference samplers:
     same grid_sample, no mask, and a slightly different flow normalization
     (divides by W instead of max(W-1,1)).
 
-Design note (TPU): gathers are the bottleneck, so the sampler fetches each
-pixel's full 2x2 bilinear footprint with ONE lax.gather of a (2, 2, C)
-patch from a zero-padded image (instead of four per-corner row gathers) —
-4x fewer gather descriptors for the same bytes. `warp_multi` additionally
-concatenates tensors sharing one flow field so their patches ride a single
-gather. Out-of-bounds corners contribute zero (torch 'zeros' padding),
-enforced by analytic per-corner masks.
+Design note (TPU): gathers are descriptor-rate bound (~16 ns/descriptor
+on v5e regardless of slice shape/bytes — see PERF.md), so the sampler
+fetches each pixel's full 2x2 bilinear footprint with ONE flat-indexed
+descriptor: the image's row pair is packed into channels
+(rowpair[y, x] = [img[y, x]; img[y+1, x]]) and a (2, 2C) slice covers all
+four taps (`_gather_taps`). `warp_multi` additionally concatenates
+tensors sharing one flow field so they ride a single gather. The custom
+VJP saves the taps as residuals (no backward regather) and scatters d_x
+as one quad-packed 4C-channel segment-sum item per pixel. Out-of-bounds
+corners contribute zero (torch 'zeros' padding), enforced by analytic
+per-corner masks.
 """
 
 import jax
@@ -112,8 +116,9 @@ def grid_sample_aligned(x: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp
 
     Custom VJP: the default transpose of the gather scatters the 4 corner
     taps separately (pathologically slow on TPU). The custom backward
-    scatters each pixel's whole (2, 2, C) footprint with ONE descriptor and
-    computes coordinate grads by regathering patches.
+    scatters each pixel's whole footprint as ONE quad-packed 4C-channel
+    segment-sum item and computes coordinate grads from the forward taps
+    saved as residuals (no regather) — see `_gs_fwd`/`_gs_bwd`.
     """
     b, h, w, c = x.shape
     compute_dtype = x.dtype

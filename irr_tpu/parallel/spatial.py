@@ -12,6 +12,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import make_mesh
+from ..nn.core import normalize_image_batch
 
 
 def spatial_sharding(mesh: Mesh) -> NamedSharding:
@@ -31,8 +32,9 @@ def make_spatial_eval(model, mesh: Mesh = None):
     ws = spatial_sharding(mesh)
     rep = NamedSharding(mesh, P())
 
-    fn = jax.jit(lambda p, i: model.apply(p, i, training=False),
-                 in_shardings=(rep, ws), out_shardings=rep)
+    fn = jax.jit(
+        lambda p, i: model.apply(p, normalize_image_batch(i), training=False),
+        in_shardings=(rep, ws), out_shardings=rep)
 
     def shard_inputs(input_dict):
         return {k: jax.device_put(v, ws) for k, v in input_dict.items()}

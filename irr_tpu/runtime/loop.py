@@ -113,10 +113,22 @@ class TrainingEpoch:
 
         timers = StageTimers(getattr(self._args, "profile", False))
         trace_dir = getattr(self._args, "profile_trace_dir", None)
+        trace_active = False
         progress = _progressbar(self._loader, self._desc, total=len(self._loader))
         stream_every = max(1, len(self._loader) // 10)
         it = enumerate(progress)
         n = 0
+
+        def stop_trace(loss_dict):
+            # complete the traced steps before stopping, then consume the
+            # flag so later epochs don't re-capture
+            import jax
+            with timers.span("drain"):
+                _fetch_floats(loss_dict)
+            jax.profiler.stop_trace()
+            if self._args is not None:
+                self._args.profile_trace_dir = None
+
         while True:
             with timers.span("data"):
                 try:
@@ -127,6 +139,7 @@ class TrainingEpoch:
             if trace_dir and i == 2:
                 import jax
                 jax.profiler.start_trace(trace_dir)
+                trace_active = True
             batch = {k: v for k, v in batch.items()
                      if isinstance(v, np.ndarray) and v.dtype != object}
             if self._augmentation is not None:
@@ -139,16 +152,17 @@ class TrainingEpoch:
                 with timers.span("drain"):
                     progress.set_postfix(drain(pending))
             pending = (loss_dict, batch_size)
-            if trace_dir and i == 5:
-                import jax
-                with timers.span("drain"):
-                    _fetch_floats(loss_dict)  # complete traced steps
-                jax.profiler.stop_trace()
+            if trace_active and i == 5:
+                stop_trace(loss_dict)
+                trace_active = False
                 trace_dir = None
             # stream bar snapshots into the logbook during the epoch, like
             # the reference's TqdmToLogger (tools.py:328-378)
             if (i + 1) % stream_every == 0:
                 _logbook_write(str(progress))
+        if trace_active:
+            # short epoch (< 6 batches): still finish and write the trace
+            stop_trace(pending[0] if pending is not None else {})
         if pending is not None:
             with timers.span("drain"):
                 progress.set_postfix(drain(pending))

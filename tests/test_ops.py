@@ -77,6 +77,31 @@ def test_cost_volume_pallas_grad_matches_xla():
     np.testing.assert_allclose(np.asarray(gx[1]), np.asarray(gp[1]), atol=1e-5)
 
 
+def test_cost_volume_pallas_fused_relu_and_grad():
+    """The relu=True epilogue (fwd) and its sign-recovery VJP (bwd): the
+    fused output's sign recovers the LeakyReLU slope, so the backward must
+    match autodiff of leaky_relu(cost_volume_xla(...))."""
+    f1, f2 = _rand(1, 8, 8, 8, seed=7), _rand(1, 8, 8, 8, seed=8)
+    f1j, f2j = jnp.asarray(f1), jnp.asarray(f2)
+
+    a = ops.cost_volume_xla(f1j, f2j, 2)
+    want = np.asarray(jnp.where(a >= 0, a, a * 0.1))
+    got = np.asarray(ops.cost_volume_pallas(f1j, f2j, 2, relu=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def loss_x(x, y):
+        o = ops.cost_volume_xla(x, y, 2)
+        return jnp.sum(jnp.sin(jnp.where(o >= 0, o, o * 0.1)))
+
+    def loss_p(x, y):
+        return jnp.sum(jnp.sin(ops.cost_volume_pallas(x, y, 2, relu=True)))
+
+    gx = jax.grad(loss_x, argnums=(0, 1))(f1j, f2j)
+    gp = jax.grad(loss_p, argnums=(0, 1))(f1j, f2j)
+    np.testing.assert_allclose(np.asarray(gx[0]), np.asarray(gp[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx[1]), np.asarray(gp[1]), atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # resizes
 # ---------------------------------------------------------------------------

@@ -98,9 +98,8 @@ class RefineFlow(_RefineBase):
         flow_m = subtract_mean(flow)
         norm2 = safe_norm(diff_img, axis=-1, keepdims=True)
         kernel = self._kernel(params, cat_features(flow_m, norm2, feature))
-        out_x = local_filter_3x3(flow[..., 0:1], kernel)
-        out_y = local_filter_3x3(flow[..., 1:2], kernel)
-        return jnp.concatenate([out_x, out_y], axis=-1)
+        # one pass filters both flow channels (kernel broadcast over C)
+        return local_filter_3x3(flow, kernel)
 
 
 class RefineOcc(_RefineBase):

@@ -29,9 +29,23 @@ def unfold9(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def local_filter_3x3(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """Apply per-pixel 3x3 kernel to a single-channel map.
+    """Apply a shared per-pixel 3x3 kernel to every channel of x.
 
-    x: (B, H, W, 1); kernel: (B, H, W, 9) -> (B, H, W, 1).
+    x: (B, H, W, C); kernel: (B, H, W, 9) -> (B, H, W, C). The kernel is
+    broadcast over channels (the reference applies one predicted kernel
+    to flow-x and flow-y separately, irr_modules.py:96-99 — same math,
+    one pass). Accumulates shift-by-shift instead of materializing the
+    unfold9 stack: a (B,H,W)-per-shift stack on the last axis creates
+    single-lane tensors that TPU layouts tile-pad 128x (see
+    cost_volume_xla's docstring for the same issue).
     """
-    patches = unfold9(x)
-    return jnp.sum(patches * kernel, axis=-1, keepdims=True)
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    acc = None
+    k = 0
+    for ky in range(3):
+        for kx in range(3):
+            t = xp[:, ky:ky + h, kx:kx + w, :] * kernel[..., k:k + 1]
+            acc = t if acc is None else acc + t
+            k += 1
+    return acc

@@ -23,6 +23,18 @@ def main(argv=None):
     args = config.setup_logging_and_parse_arguments(blocktitle="Commandline Arguments",
                                                     argv=argv)
 
+    # persistent XLA compilation cache: the IRR models take 20-40 s to
+    # compile cold; curriculum stages and re-runs hit the cache instead
+    import os
+    cache_dir = os.environ.get("IRR_TPU_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/irr_tpu_xla"))
+    if cache_dir and cache_dir != "0":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:  # older jax without the knob: non-fatal
+            pass
+
     if getattr(args, "multihost", False):
         # DCN multi-host: join the global runtime BEFORE touching devices.
         from irr_tpu.parallel.mesh import initialize_multihost

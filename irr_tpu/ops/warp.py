@@ -190,8 +190,15 @@ def _gs_bwd(res, g):
     ids = (base + y0c * (w + 2) + x0c).reshape(-1)
     vals = jnp.concatenate([g * w00, g * w01, g * w10, g * w11],
                            axis=-1).reshape(-1, 4 * c)
+    # scatter rows must fill whole lane groups: narrow rows (4C < 64
+    # lanes) hit a masked read-modify-write path measured ~6x slower
+    # (98 vs 16 ns/item at 4C=20) — zero-pad to the next multiple of 64
+    lanes = 4 * c
+    pad_to = -(-lanes // 64) * 64
+    if pad_to != lanes:
+        vals = jnp.pad(vals, ((0, 0), (0, pad_to - lanes)))
     acc = jax.ops.segment_sum(vals, ids, num_segments=b * stride_b)
-    acc = acc.reshape(b, h + 2, w + 2, 4, c)
+    acc = acc[:, :lanes].reshape(b, h + 2, w + 2, 4, c)
     # quadrant (dy,dx) stored at base (y0c, x0c) contributes to image pixel
     # (y0+dy, x0+dx) = padded (y0c+dy, x0c+dx); read back with the shifts
     dx = (acc[:, 1:h + 1, 1:w + 1, 0]

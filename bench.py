@@ -68,6 +68,11 @@ def run_with_loader():
 
     root = os.environ.get("IRR_BENCH_DATA", "/tmp/irr_bench_sintel")
     _make_sintel_tree(root)
+    # decoded-sample cache: the warmup epoch decodes + fills it, the timed
+    # epoch measures the steady state (epoch >= 2) of a real training run
+    from irr_tpu.data.cache import set_decode_cache
+    set_decode_cache(os.environ.get("IRR_BENCH_DECODE_CACHE",
+                                    "/tmp/irr_bench_decode_cache"))
 
     set_compute_dtype(jnp.bfloat16)
     model = models.IRR_PWC()
@@ -119,6 +124,42 @@ def run_with_loader():
     }))
 
 
+def run_loader_only():
+    """Host-side input-pipeline throughput: decode -> pair chain -> batch
+    stacking, no device work. Separates the loader's own ceiling from the
+    tunnel H2D artifact (see PERF.md 'The tunnel H2D wall')."""
+    from irr_tpu.data import SintelTrainingCleanFull
+    from irr_tpu.data.loader import DataLoader
+    from irr_tpu.data.cache import set_decode_cache
+
+    root = os.environ.get("IRR_BENCH_DATA", "/tmp/irr_bench_sintel")
+    _make_sintel_tree(root)
+    set_decode_cache(os.environ.get("IRR_BENCH_DECODE_CACHE",
+                                    "/tmp/irr_bench_decode_cache"))
+    dataset = SintelTrainingCleanFull(root=root,
+                                      photometric_augmentations=False)
+
+    def epoch():
+        loader = DataLoader(dataset, batch_size=BATCH, shuffle=False,
+                            num_workers=6, drop_last=True, prefetch=3)
+        n = 0
+        for batch in loader:
+            n += batch["input1"].shape[0]
+        return n
+
+    epoch()  # warmup: fill decode cache + page cache
+    t0 = time.perf_counter()
+    n = epoch()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "input pipeline pairs/sec host-side (decode+stack, cached)"
+                  " @ Sintel 1024x436",
+        "value": round(n / dt, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(n / dt / BASELINE_A100_PAIRS_PER_SEC, 3),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -163,5 +204,7 @@ def main():
 if __name__ == "__main__":
     if "--with-loader" in sys.argv:
         run_with_loader()
+    elif "--loader-only" in sys.argv:
+        run_loader_only()
     else:
         main()

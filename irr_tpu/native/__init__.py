@@ -46,6 +46,22 @@ def get_lib():
     return _lib or None
 
 
+def defilter_png8(raw: bytes, h: int, stride: int, bpp: int):
+    """Defilter an 8-bit PNG stream -> (h * stride,) uint8, or None if the
+    native library is unavailable. bpp = bytes per pixel (1 gray / 3 RGB /
+    4 RGBA); the C routine is bpp-generic."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(h * stride, np.uint8)
+    rc = lib.png_defilter(raw, out.ctypes.data_as(ctypes.c_char_p),
+                          h, stride, bpp)
+    if rc != 0:
+        raise ValueError("unknown PNG filter type")
+    return out
+
+
 def defilter_png16(raw: bytes, h: int, w: int):
     """Defilter + byte-swap a 16-bit RGB PNG stream -> (H, W, 3) uint16,
     or None if the native library is unavailable."""

@@ -193,3 +193,51 @@ def test_loader_num_workers_parity(tmp_path):
                     assert ba[k] == bb[k], k
     # epochs must differ (set_epoch drives fresh augmentation draws)
     assert not np.array_equal(a[0][0]["input1"], a[1][0]["input1"])
+
+
+def test_png8_native_decode_matches_pil(tmp_path):
+    """read_png8 (zlib + native defilter) is bit-equal to PIL for 8-bit
+    gray/RGB/RGBA PNGs and declines anything else (palette here)."""
+    rng = np.random.RandomState(3)
+    smooth = np.kron(rng.rand(5, 7, 4), np.ones((8, 8, 1)))  # filter variety
+    rgba = (np.clip(smooth + rng.rand(40, 56, 4) * 0.1, 0, 1) * 255).astype(np.uint8)
+    cases = {
+        "rgb.png": Image.fromarray(rgba[..., :3], "RGB"),
+        "gray.png": Image.fromarray(rgba[..., 0], "L"),
+        "rgba.png": Image.fromarray(rgba, "RGBA"),
+    }
+    for name, im in cases.items():
+        p = str(tmp_path / name)
+        im.save(p)
+        out = common.read_png8(p)
+        assert out is not None and np.array_equal(out, np.asarray(Image.open(p))), name
+    p = str(tmp_path / "pal.png")
+    Image.fromarray(rgba[..., 0]).convert("P").save(p)
+    assert common.read_png8(p) is None  # caller falls back to PIL
+    assert common.read_image_as_byte(p).shape == (40, 56)
+
+
+def test_decode_cache_roundtrip_and_invalidation(tmp_path):
+    from irr_tpu.data.cache import set_decode_cache, decode_cache_root
+    img = (np.random.RandomState(0).rand(16, 24, 3) * 255).astype(np.uint8)
+    src = str(tmp_path / "x.png")
+    Image.fromarray(img).save(src)
+    assert decode_cache_root() is None  # default off
+    cache = str(tmp_path / "cache")
+    set_decode_cache(cache)
+    try:
+        a = common.read_image_as_byte(src)
+        assert np.array_equal(a, img)
+        entries = [f for _, _, fs in os.walk(cache) for f in fs]
+        assert len(entries) == 1
+        b = common.read_image_as_byte(src)  # cache hit
+        assert np.array_equal(b, img)
+        # content change -> new key, correct result (no stale read)
+        img2 = img[::-1].copy()
+        Image.fromarray(img2).save(src)
+        now = os.stat(src)
+        os.utime(src, ns=(now.st_atime_ns, now.st_mtime_ns + 10**9))
+        c = common.read_image_as_byte(src)
+        assert np.array_equal(c, img2)
+    finally:
+        set_decode_cache(None)

@@ -13,7 +13,7 @@ the rationale): decoder([c2_1;c2_2], [c3_1;c3_2], swap(warped stack)).
 import jax
 import jax.numpy as jnp
 
-from ..nn.core import Module, Conv
+from ..nn.core import Module, Conv, model_inputs
 from ..nn.flownet import FlowNetS, FlowNetSIrr
 from ..ops.warp import warp_unmasked
 from ..ops.resize import upsample2d_as
@@ -47,8 +47,7 @@ class FlowNet1S(Module):
         return self.apply(params, input_dict, training)
 
     def apply(self, params, input_dict, training=False):
-        im1 = input_dict["input1"]
-        im2 = input_dict["input2"]
+        im1, im2 = model_inputs(input_dict)
         x = jnp.concatenate([im1, im2], axis=-1)
         flow2, flow3, flow4, flow5, flow6 = self.flownets(params["flownets"], x)
         if training:
@@ -96,8 +95,7 @@ class _FlowNet1SIrrBase(Module):
         return self.apply(params, input_dict, training)
 
     def apply(self, params, input_dict, training=False):
-        im1 = input_dict["input1"]
-        im2 = input_dict["input2"]
+        im1, im2 = model_inputs(input_dict)
         _, height_im, width_im, _ = im1.shape
         dvf = self.div_flow
         keys = ["flow2", "flow3", "flow4", "flow5", "flow6"]

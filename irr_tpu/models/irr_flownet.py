@@ -14,7 +14,7 @@ All warps use the unmasked FlowNet warping layer
 import jax
 import jax.numpy as jnp
 
-from ..nn.core import Module
+from ..nn.core import Module, model_inputs
 from ..nn.flownet import FlowNetSIrr
 from ..nn.irr import OccUpsampleNetwork, RefineFlow, RefineOcc
 from ..ops.warp import warp_unmasked, warp_multi
@@ -46,8 +46,7 @@ class IRR_FlowNet(Module):
         return self.apply(params, input_dict, training)
 
     def apply(self, params, input_dict, training=False):
-        im1 = input_dict["input1"]
-        im2 = input_dict["input2"]
+        im1, im2 = model_inputs(input_dict)
         bsz, height_im, width_im, _ = im1.shape
         dvf = self.div_flow
 

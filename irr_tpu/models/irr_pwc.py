@@ -19,7 +19,7 @@ stack by the flow stack yields [warp(x2, flow_f); warp(x1, flow_b)].
 import jax
 import jax.numpy as jnp
 
-from ..nn.core import Module, Conv, cat_features
+from ..nn.core import Module, Conv, cat_features, model_inputs
 from ..nn.pwc import (FeatureExtractor, FlowEstimatorDense, OccEstimatorDense,
                       ContextNetwork, OccContextNetwork)
 from ..nn.irr import OccUpsampleNetwork, RefineFlow, RefineOcc
@@ -80,8 +80,7 @@ class IRR_PWC(Module):
         return self.apply(params, input_dict, training)
 
     def apply(self, params, input_dict, training=False):
-        x1_raw = input_dict["input1"]
-        x2_raw = input_dict["input2"]
+        x1_raw, x2_raw = model_inputs(input_dict)
         b, height_im, width_im, _ = x1_raw.shape
         dvf = self.div_flow
 

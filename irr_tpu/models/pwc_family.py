@@ -16,7 +16,7 @@ the IRR property. NHWC everywhere.
 import jax
 import jax.numpy as jnp
 
-from ..nn.core import Module, Conv, cat_features
+from ..nn.core import Module, Conv, cat_features, model_inputs
 from ..nn.pwc import (FeatureExtractor, FlowEstimatorDense, OccEstimatorDense,
                       ContextNetwork, OccContextNetwork)
 from ..ops.cost_volume import cost_volume
@@ -90,8 +90,7 @@ class _PWCPlain(_PWCBase):
         return p
 
     def apply(self, params, input_dict, training=False):
-        x1_raw = input_dict["input1"]
-        x2_raw = input_dict["input2"]
+        x1_raw, x2_raw = model_inputs(input_dict)
         _, height_im, width_im, _ = x1_raw.shape
         x1_pyr, x2_pyr = self._pyramids(params, x1_raw, x2_raw)
 
@@ -203,8 +202,7 @@ class _PWCIrr(_PWCBase):
         return p
 
     def apply(self, params, input_dict, training=False):
-        x1_raw = input_dict["input1"]
-        x2_raw = input_dict["input2"]
+        x1_raw, x2_raw = model_inputs(input_dict)
         _, height_im, width_im, _ = x1_raw.shape
         x1_pyr, x2_pyr = self._pyramids(params, x1_raw, x2_raw)
 

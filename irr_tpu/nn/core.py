@@ -49,7 +49,10 @@ def normalize_image_batch(batch):
     The loader ships images as uint8 when no host-side photometric
     transform runs (data/transforms.py PhotometricPair disabled path),
     quartering host->device bytes; uint8->f32 conversion is exact and the
-    on-device f32 divide produces bit-identical values to the host path.
+    on-device f32 divide is bit-identical to the host path on the CPU
+    backend (pinned by test_data.py::test_photometric_disabled_is_tototensor);
+    on TPU, XLA may lower /255 as a reciprocal multiply, <=1 ulp off for
+    some of the 256 values (same story as _exact_div_f32, ops/warp.py).
     """
     out = dict(batch)
     for k in ("input1", "input2", "target_occ1", "target_occ2"):
@@ -57,6 +60,24 @@ def normalize_image_batch(batch):
         if v is not None and v.dtype == jnp.uint8:
             out[k] = v.astype(jnp.float32) / np.float32(255.0)
     return out
+
+
+def model_inputs(input_dict):
+    """Fetch (input1, input2), rejecting a still-uint8 wire batch.
+
+    The uint8 wire format makes normalize_image_batch a required step
+    keyed on a fixed key list; a consumer that feeds loader batches
+    straight into model.apply would otherwise silently train on 0-255
+    values (models accept any float). Every model's apply() goes through
+    here so the mistake fails loudly at trace time (ADVICE r2)."""
+    x1, x2 = input_dict["input1"], input_dict["input2"]
+    for x in (x1, x2):
+        if not jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+            raise TypeError(
+                "model inputs must be floating point in [0,1]; got %s — "
+                "pass the batch through nn.core.normalize_image_batch "
+                "(the loader ships uint8 on the wire)" % jnp.asarray(x).dtype)
+    return x1, x2
 
 
 def safe_norm(x, axis=-1, keepdims=True):

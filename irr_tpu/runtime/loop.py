@@ -112,22 +112,32 @@ class TrainingEpoch:
                 for k in sorted(moving_averages))
 
         timers = StageTimers(getattr(self._args, "profile", False))
+        # consume the flag unconditionally at epoch start: exactly one
+        # capture attempt per run, even if this epoch turns out too short
+        # to reach the preferred start batch (ADVICE r2)
         trace_dir = getattr(self._args, "profile_trace_dir", None)
+        if trace_dir and self._args is not None:
+            self._args.profile_trace_dir = None
+        n_batches = len(self._loader)
+        if trace_dir and n_batches == 0:
+            logging.warning("profile_trace_dir: empty epoch, no trace captured")
+            trace_dir = None
+        # skip the first 2 (compile/warmup) batches when the epoch allows it
+        trace_start = 2 if n_batches > 2 else 0
         trace_active = False
-        progress = _progressbar(self._loader, self._desc, total=len(self._loader))
-        stream_every = max(1, len(self._loader) // 10)
+        progress = _progressbar(self._loader, self._desc, total=n_batches)
+        stream_every = max(1, n_batches // 10)
         it = enumerate(progress)
         n = 0
 
         def stop_trace(loss_dict):
-            # complete the traced steps before stopping, then consume the
-            # flag so later epochs don't re-capture
+            # complete the traced steps before stopping; the fetch is trace
+            # overhead, not drain time (the same loss_dict is drained again
+            # by the normal delayed path, which then finds it host-ready)
             import jax
-            with timers.span("drain"):
+            with timers.span("trace"):
                 _fetch_floats(loss_dict)
-            jax.profiler.stop_trace()
-            if self._args is not None:
-                self._args.profile_trace_dir = None
+                jax.profiler.stop_trace()
 
         while True:
             with timers.span("data"):
@@ -136,7 +146,7 @@ class TrainingEpoch:
                 except StopIteration:
                     break
             n += 1
-            if trace_dir and i == 2:
+            if trace_dir and i == trace_start:
                 import jax
                 jax.profiler.start_trace(trace_dir)
                 trace_active = True
@@ -152,7 +162,7 @@ class TrainingEpoch:
                 with timers.span("drain"):
                     progress.set_postfix(drain(pending))
             pending = (loss_dict, batch_size)
-            if trace_active and i == 5:
+            if trace_active and i == trace_start + 3:
                 stop_trace(loss_dict)
                 trace_active = False
                 trace_dir = None

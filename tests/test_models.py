@@ -136,3 +136,16 @@ def test_flownet1s_irr_iteration_accumulates():
     assert len(out["flow2"]) == 2
     # iteration 1 output includes iteration 0 as residual base; they differ
     assert not np.allclose(np.asarray(out["flow2"][0]), np.asarray(out["flow2"][1]))
+
+
+def test_uint8_batch_rejected_at_model_entry():
+    """A loader wire batch (uint8) fed to model.apply without
+    normalize_image_batch fails loudly instead of training on 0-255
+    values (ADVICE r2; nn/core.py model_inputs)."""
+    import pytest
+    m = models.FlowNet1S()
+    p = jax.jit(m.init)(jax.random.PRNGKey(0))
+    b = {"input1": np.zeros((1, 64, 64, 3), np.uint8),
+         "input2": np.zeros((1, 64, 64, 3), np.uint8)}
+    with pytest.raises(TypeError, match="normalize_image_batch"):
+        m.apply(p, b)

@@ -37,3 +37,31 @@ def test_save_outputs_writes_all_artifacts(tmp_path):
     np.testing.assert_array_equal(got, output["flow"][0])
     got_png, _ = read_png16_flow(flo_base + ".png")
     np.testing.assert_allclose(got_png, output["flow"][0], atol=1 / 64)
+
+
+def test_profile_trace_consumed_on_short_epoch(tmp_path, monkeypatch):
+    """--profile_trace_dir captures exactly once even when the first epoch
+    is shorter than the preferred [2, 5] batch window, and the flag is
+    consumed at epoch start so later epochs never silently retry (ADVICE r2)."""
+    import jax.profiler
+    from irr_tpu.runtime.loop import TrainingEpoch
+
+    calls = []
+    monkeypatch.setattr(jax.profiler, "start_trace",
+                        lambda d: calls.append(("start", d)))
+    monkeypatch.setattr(jax.profiler, "stop_trace",
+                        lambda: calls.append(("stop", None)))
+
+    def step_fn(state, batch):
+        return state, {"total_loss": np.float32(1.0)}
+
+    batch = {"input1": np.zeros((2, 8, 8, 3), np.float32)}
+    args = types.SimpleNamespace(profile=False,
+                                 profile_trace_dir=str(tmp_path))
+    epoch = TrainingEpoch(args, step_fn, [batch, batch])  # 2 batches < window
+    epoch.run(state=None)
+    assert calls == [("start", str(tmp_path)), ("stop", None)]
+    assert args.profile_trace_dir is None  # consumed
+    epoch2 = TrainingEpoch(args, step_fn, [batch, batch])
+    epoch2.run(state=None)
+    assert len(calls) == 2  # no re-capture

@@ -5,9 +5,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The north star (BASELINE.json) is >=5x the reference PyTorch IRR-PWC on an
 A100. No A100 is reachable from this environment and the reference repo
 publishes no throughput numbers, so the baseline constant below is an
-ESTIMATE of the reference's A100 eval throughput at this resolution:
-IRR-PWC reports ~0.18 s/frame on a 1080Ti-era GPU; an A100 is ~4-6x that
-GPU on conv workloads, giving ~20 pairs/sec. vs_baseline = value / 20.0.
+ESTIMATE, derived in BASELINE.md ("Derivation of the A100 baseline
+constant"): the eval forward measures 1.135 TFLOP/pair (XLA cost
+analysis); eager-torch A100 utilization for this glue-heavy model is
+realistically 5-15% of TF32 peak -> 7-21 pairs/s; 20.0 pins the top of
+that band (generous to the reference). vs_baseline = value / 20.0.
 
 Runs eval-mode forward (the metric's setting) with bf16 conv compute
 (f32 accumulation), batched to fill the chip, on the one real TPU.

@@ -416,13 +416,30 @@ def kitti_random_crop(im1, im2, flo, valid, crop_h=370, crop_w=1224, rng=None):
     return im1[sl], im2[sl], flo[sl], valid[sl]
 
 
+def pad_to_multiple(arrs, multiple):
+    """Zero-pad HWC arrays bottom/right to the next multiple (bucket-and-pad
+    eval strategy, SURVEY §7 'hard parts'). All KITTI native sizes
+    (370-376 × 1224-1242) land in ONE (384, 1280) bucket at multiple=64,
+    so native-size evaluation compiles exactly once. Padding is
+    metric-exact: the validity mask is zero-extended and every KITTI eval
+    reduction is valid-masked with per-image valid-count normalization
+    (losses.py MultiScaleEPE_PWC_Bi_Occ_upsample_KITTI eval branch)."""
+    h, w = arrs[0].shape[:2]
+    ph = -h % multiple
+    pw = -w % multiple
+    if ph == 0 and pw == 0:
+        return arrs
+    return [np.pad(a, ((0, ph), (0, pw), (0, 0))) for a in arrs]
+
+
 class KittiComb(Dataset):
     def __init__(self, args=None, images_root_2015=None, flow_root_2015=None,
                  images_root_2012=None, flow_root_2012=None,
                  photometric_augmentations=False, preprocessing_crop=True,
-                 dstype="full", rng=None):
+                 pad_multiple=64, dstype="full", rng=None):
         super().__init__(photometric_augmentations, rng)
         self.preprocessing_crop = preprocessing_crop
+        self.pad_multiple = int(pad_multiple or 0)
         self._has_gt = dstype != "test"
         self._image_list, self._flow_list = [], []
 
@@ -456,8 +473,13 @@ class KittiComb(Dataset):
             if self.preprocessing_crop:
                 im1, im2, flo, valid = kitti_random_crop(im1, im2, flo, valid,
                                                          rng=rng)
+            elif self.pad_multiple:
+                im1, im2, flo, valid = pad_to_multiple(
+                    [im1, im2, flo, valid], self.pad_multiple)
             # target2 == target1 (kitti_combined.py:365: no backward GT)
             out.update({"target1": flo, "target2": flo, "input_valid": valid})
+        elif not self.preprocessing_crop and self.pad_multiple:
+            im1, im2 = pad_to_multiple([im1, im2], self.pad_multiple)
         im1, im2 = self._photo(im1, im2, rng=rng)
         out.update({"input1": im1, "input2": im2})
         return out
@@ -467,7 +489,8 @@ def _kitti_cls(use_2015, use_2012, dstype, photo_default, crop_default):
     class _C(KittiComb):
         def __init__(self, args=None, root=None,
                      photometric_augmentations=photo_default,
-                     preprocessing_crop=crop_default, rng=None):
+                     preprocessing_crop=crop_default, pad_multiple=64,
+                     rng=None):
             kw = {}
             if use_2015:
                 base = ("testing" if dstype == "test" else "training")
@@ -480,7 +503,8 @@ def _kitti_cls(use_2015, use_2012, dstype, photo_default, crop_default):
                 if dstype != "test":
                     kw["flow_root_2012"] = os.path.join(root, "data_stereo_flow", base, "flow_occ")
             super().__init__(args, photometric_augmentations=photometric_augmentations,
-                             preprocessing_crop=preprocessing_crop, dstype=dstype,
+                             preprocessing_crop=preprocessing_crop,
+                             pad_multiple=pad_multiple, dstype=dstype,
                              rng=rng, **kw)
     return _C
 

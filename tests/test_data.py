@@ -241,3 +241,80 @@ def test_decode_cache_roundtrip_and_invalidation(tmp_path):
         assert np.array_equal(c, img2)
     finally:
         set_decode_cache(None)
+
+
+def _make_kitti2015(root, sizes):
+    """Fake KITTI-2015 tree (data_scene_flow layout) with given native
+    (h, w) per sample."""
+    from irr_tpu.utils.flow_io import write_flow_png
+    img_dir = os.path.join(root, "data_scene_flow", "training", "image_2")
+    flo_dir = os.path.join(root, "data_scene_flow", "training", "flow_occ")
+    os.makedirs(img_dir); os.makedirs(flo_dir)
+    rng = np.random.RandomState(0)
+    for i, (h, w) in enumerate(sizes):
+        for t in (10, 11):
+            img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(img_dir, "%06d_%d.png" % (i, t)))
+        flow = np.round(rng.randn(h, w, 2) * 64) / 64
+        valid = (rng.rand(h, w, 1) > 0.2).astype(np.float32)
+        write_flow_png(os.path.join(flo_dir, "%06d_10.png" % i),
+                       flow.astype(np.float32), valid)
+
+
+def test_kitti_eval_pad_to_bucket(tmp_path):
+    """Variable-shape KITTI eval (VERDICT r2 #9): native sizes pad to ONE
+    (384, 1280)-style bucket (here multiple=64 on small fakes), the valid
+    mask zero-extends, batches of different native sizes stack, and the
+    masked eval metrics are bit-identical to native-resolution eval."""
+    import jax.numpy as jnp
+    from irr_tpu.data.datasets import KittiComb2015Val, KittiComb2015Train
+    from irr_tpu import losses
+    root = str(tmp_path)
+    # KITTI_2015_VALIDATE_INDICES starts [10, 11, ...]; samples 10/11 are
+    # the two native sizes of interest, 0-9 are train-side filler
+    _make_kitti2015(root, [(66, 140)] * 10 + [(70, 150), (66, 140)])
+
+    ds = KittiComb2015Val(root=root)   # no crop, pad_multiple=64 default
+    assert len(ds) == 2
+    exs = [ds[i] for i in range(2)]
+    for ex in exs:
+        assert ex["input1"].shape[:2] == (128, 192)
+        assert ex["target1"].shape[:2] == (128, 192)
+        assert ex["input_valid"].shape[:2] == (128, 192)
+    # padding region is invalid
+    assert exs[0]["input_valid"][70:].sum() == 0
+    assert exs[0]["input_valid"][:, 150:].sum() == 0
+    # one stacked batch from two native sizes
+    batch = {k: np.stack([e[k] for e in exs])
+             for k in ("input1", "target1", "input_valid")}
+    assert batch["input1"].shape == (2, 128, 192, 3)
+
+    # native shapes still available
+    ds_native = KittiComb2015Val(root=root, pad_multiple=0)
+    assert ds_native[0]["input1"].shape[:2] == (70, 150)
+    assert ds_native[1]["input1"].shape[:2] == (66, 140)
+    np.testing.assert_array_equal(ds_native[0]["input1"],
+                                  exs[0]["input1"][:70, :150])
+
+    # metric neutrality: eval loss on (padded pred, padded GT) == native
+    loss = losses.MultiScaleEPE_PWC_Bi_Occ_upsample_KITTI(batch_size=1,
+                                                          div_flow=0.05)
+    rng = np.random.RandomState(3)
+    for i, (h, w) in enumerate([(70, 150), (66, 140)]):
+        pred_nat = rng.randn(1, h, w, 2).astype(np.float32)
+        pred_pad = np.pad(pred_nat, ((0, 0), (0, 128 - h), (0, 192 - w), (0, 0)),
+                          constant_values=7.7)  # garbage in padding
+        nat = {k: jnp.asarray(ds_native[i][k][None]) for k in
+               ("target1", "input_valid")}
+        pad = {k: jnp.asarray(exs[i][k][None]) for k in
+               ("target1", "input_valid")}
+        ld_nat = loss({"flow": jnp.asarray(pred_nat)}, nat, training=False)
+        ld_pad = loss({"flow": jnp.asarray(pred_pad)}, pad, training=False)
+        assert np.allclose(float(ld_nat["epe"]), float(ld_pad["epe"]), rtol=1e-6)
+        assert np.allclose(float(ld_nat["outlier"]), float(ld_pad["outlier"]),
+                           rtol=1e-6)
+
+    # training path (crop) unaffected by the new parameter
+    ds_tr = KittiComb2015Train(root=root)
+    ex = ds_tr[0]
+    assert ex["input1"].shape == ex["target1"].shape[:2] + (3,)

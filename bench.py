@@ -94,35 +94,71 @@ def run_with_loader():
         ld = loss_mod(out, b, training=False)
         return ld["epe"]
 
+    KEYS = ("input1", "input2", "target1", "target_occ1")
+
     def epoch():
+        # device-prefetch thread: H2D of batch N+1 overlaps batch N's
+        # forward (what a production input pipeline does with PCIe DMA;
+        # through the axon tunnel the overlap is partial at best)
+        import queue
+        import threading
         loader = DataLoader(dataset, batch_size=BATCH, shuffle=False,
                             num_workers=6, drop_last=True, prefetch=3)
+        q = queue.Queue(maxsize=2)
+
+        def feeder():
+            for batch in loader:
+                q.put({k: jnp.asarray(batch[k]) for k in KEYS})
+            q.put(None)
+
+        th = threading.Thread(target=feeder, daemon=True)
+        th.start()
         pend = None
         n = 0
-        for batch in loader:
-            b = {"input1": jnp.asarray(batch["input1"]),
-                 "input2": jnp.asarray(batch["input2"]),
-                 "target1": jnp.asarray(batch["target1"]),
-                 "target_occ1": jnp.asarray(batch["target_occ1"])}
+        while True:
+            b = q.get()
+            if b is None:
+                break
             e = fwd(params, b)
             if pend is not None:
                 float(np.asarray(pend))
             pend = e
             n += BATCH
         float(np.asarray(pend))
+        th.join()
         return n
 
-    epoch()  # warmup: jit compile + page cache
+    epoch()  # warmup: jit compile + decode cache + page cache
     t0 = time.perf_counter()
     n = epoch()
     dt = time.perf_counter() - t0
     pairs_per_sec = n / dt
+
+    # quantify the environment's H2D artifact: this dev setup reaches the
+    # TPU through a tunnel measured at ~10-130 MB/s (varies by the minute),
+    # vs >=10 GB/s host-attached PCIe in production. Measure right now and
+    # report the wire cost alongside the end-to-end number.
+    probe = np.random.RandomState(0).randint(
+        0, 255, (BATCH, H, W, 3), np.uint8)
+    a = jnp.asarray(probe); float(a.ravel()[0])
+    t0 = time.perf_counter()
+    a = jnp.asarray(probe); float(a.ravel()[0])
+    h2d_mbps = probe.nbytes / (time.perf_counter() - t0) / 1e6
+    bytes_per_pair = sum(
+        np.dtype(d).itemsize * H * W * c
+        for d, c in (("uint8", 3), ("uint8", 3), ("float32", 2), ("uint8", 1)))
     print(json.dumps({
         "metric": "IRR-PWC eval pairs/sec/chip end-to-end through loader "
                   "@ Sintel 1024x436 (bf16)",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_A100_PAIRS_PER_SEC, 3),
+        "h2d_tunnel_MBps": round(h2d_mbps, 1),
+        "wire_MB_per_pair": round(bytes_per_pair / 1e6, 2),
+        "note": "dev-tunnel H2D (~MB/s) bounds this number; on a "
+                "production host (>=10 GB/s) end-to-end is "
+                "min(host decode, device) - see PERF.md 'The tunnel "
+                "H2D wall'",
     }))
 
 

@@ -1,0 +1,161 @@
+"""HBM-resident dataset mode (--dataset_resident).
+
+Small flow datasets (FlyingChairs* at 384x512: ~3 MB/sample) fit in one
+chip's HBM. Uploading the decoded samples ONCE and gathering batches
+on-device turns the per-step host->device traffic into B int32 indices,
+so training runs at device speed even when the host link is slow — the
+TPU-native answer to torch's per-step pinned-memory H2D copy (reference
+configuration.py:412-446 + runtime.py:172-180 move every batch every
+step).
+
+Per-step pipeline (all on device, one jitted call chain):
+  indices -> jnp.take gather from the resident arrays
+          -> photometric jitter (irr_tpu/augment/photometric.py), if the
+             dataset was built with photometric_augmentations
+          -> the normal jitted affine augmentation (train) or nothing
+             (validation; the eval step normalizes uint8 in-graph).
+
+Flows are stored f16 (|flow| <= ~50 px -> quantization <= 0.025 px,
+far under EPE scales) and cast back to f32 at gather; images/occ stay
+uint8. Upload goes through jit-argument transfer in equal-size chunks
+into a donated dynamic_update_slice ring — the only H2D path that
+streams at full link speed in this environment (PERF.md, tunnel notes).
+"""
+
+import logging
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+_ARRAY_KEYS = ("input1", "input2", "target1", "target2",
+               "target_occ1", "target_occ2", "input_valid")
+
+
+def _storage_dtype(key, arr):
+    if key.startswith("target") and arr.dtype == np.float32:
+        return np.float16
+    return arr.dtype
+
+
+class ResidentData:
+    """Decode a whole dataset, stack per-field, upload once to device."""
+
+    def __init__(self, dataset, chunk=64, name="dataset"):
+        n = len(dataset)
+        first = dataset[0]
+        keys = [k for k in _ARRAY_KEYS if k in first]
+        host = {k: np.empty((n,) + first[k].shape,
+                            _storage_dtype(k, np.asarray(first[k])))
+                for k in keys}
+        for i in range(n):
+            ex = dataset[i]
+            for k in keys:
+                host[k][i] = ex[k]
+        total_mb = sum(a.nbytes for a in host.values()) / 1e6
+        logging.info("resident %s: %d samples, %.0f MB -> HBM", name, n, total_mb)
+        self.n = n
+        self.arrays = {k: _upload(v, chunk) for k, v in host.items()}
+
+        def gather(arrays, idx):
+            out = {}
+            for k, a in arrays.items():
+                g = jnp.take(a, idx, axis=0)
+                if g.dtype == jnp.float16:
+                    g = g.astype(jnp.float32)
+                out[k] = g
+            out["index"] = idx
+            return out
+
+        self._gather = jax.jit(gather)
+
+    def gather(self, idx):
+        return self._gather(self.arrays, jnp.asarray(idx, jnp.int32))
+
+
+def _upload(host_arr, chunk):
+    """Chunked H2D through the jit-argument path into a donated buffer.
+
+    Equal-size chunks keep one executable; the tail chunk is padded on
+    host and the pad rows overwritten never (buffer pre-sized to n)."""
+    n = host_arr.shape[0]
+    chunk = min(chunk, n)
+    buf = jnp.zeros(host_arr.shape, host_arr.dtype)
+
+    def place(b, c, start):
+        zeros = (0,) * (b.ndim - 1)
+        return jax.lax.dynamic_update_slice(b, c, (start,) + zeros)
+
+    placer = jax.jit(place, donate_argnums=(0,))
+    for s in range(0, n, chunk):
+        if s + chunk > n:
+            s = n - chunk  # slide the last window back: full-size chunk,
+        c = host_arr[s:s + chunk]  # re-writing a few already-placed rows
+        buf = placer(buf, c, jnp.int32(s))
+    return buf
+
+
+class ResidentIndexLoader:
+    """DataLoader-shaped iterable that yields only index batches."""
+
+    def __init__(self, n, batch_size, shuffle=False, seed=0, drop_last=False):
+        self.n = int(n)
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._seed = seed
+        self._epoch = 0
+
+    def __len__(self):
+        if self.drop_last:
+            return self.n // self.batch_size
+        return -(-self.n // self.batch_size)
+
+    def __iter__(self):
+        order = np.arange(self.n)
+        if self.shuffle:
+            np.random.RandomState(self._seed + self._epoch).shuffle(order)
+        self._epoch += 1
+        for i in range(0, self.n, self.batch_size):
+            chunk = order[i:i + self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                break
+            yield {"index": chunk.astype(np.int32)}
+
+
+class ResidentBatchFn:
+    """Augmentation-slot wrapper: gather (+ photometric) (+ inner aug).
+
+    Drops into the loop's `batch, key = aug(batch, key)` contract
+    (runtime/loop.py): receives the index batch from ResidentIndexLoader,
+    returns full device batches. With photometric=True the images come
+    back float32 [0,1] (jitter+gamma applied); otherwise uint8, and the
+    train/eval step normalizes in-graph as usual.
+    """
+
+    def __init__(self, resident, inner_aug=None, photometric=False):
+        self._resident = resident
+        self._inner = inner_aug
+        self._photometric = bool(photometric)
+        if self._photometric:
+            from ..augment.photometric import photometric_pair_batch
+
+            def photo(batch, key):
+                im1, im2 = photometric_pair_batch(
+                    batch["input1"], batch["input2"], key)
+                return dict(batch, input1=im1, input2=im2)
+
+            self._photo = jax.jit(photo)
+
+    def __call__(self, batch, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        g = self._resident.gather(batch["index"])
+        if self._photometric:
+            key, sub = jax.random.split(key)
+            g = self._photo(g, sub)
+        if self._inner is not None:
+            return self._inner(g, key)
+        return g, key

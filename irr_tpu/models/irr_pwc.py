@@ -42,9 +42,14 @@ def _swap(x):
 class IRR_PWC(Module):
     """ctor mirrors the reference contract: (args, div_flow=0.05)."""
 
-    def __init__(self, args=None, div_flow=0.05):
+    def __init__(self, args=None, div_flow=0.05, approx_guidance=False):
         self.args = args
         self.div_flow = float(div_flow)
+        # --model_approx_guidance=True: quarter-density L5/L6 guidance
+        # warps (ops/warp.py warp_multi approx mode). OFF by default —
+        # the default path stays reference-exact; opt in for ~4x fewer
+        # full-res gather descriptors at a small guidance-fidelity cost.
+        self.approx_guidance = bool(approx_guidance)
 
         self.extractor = FeatureExtractor(NUM_CHS)
         ch_in_flo = DIM_CORR + 32 + 2
@@ -177,12 +182,14 @@ class IRR_PWC(Module):
                 if occ.shape[0] == b:  # eval, forward-only
                     x_warp, flow_warp = warp_multi(
                         [x_sw[:b], _swap(flow)[:b]], flow[:b],
-                        height_im, width_im, dvf)
+                        height_im, width_im, dvf,
+                        approx=self.approx_guidance)
                     x_half = x[:b]
                     fl = flow[:b]
                 else:
                     x_warp, flow_warp = warp_multi(
-                        [x_sw, _swap(flow)], flow, height_im, width_im, dvf)
+                        [x_sw, _swap(flow)], flow, height_im, width_im, dvf,
+                        approx=self.approx_guidance)
                     x_half = x
                     fl = flow
 

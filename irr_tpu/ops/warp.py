@@ -383,16 +383,47 @@ def warp_unmasked(x: jnp.ndarray, flow: jnp.ndarray, height_im: int, width_im: i
     return grid_sample_aligned(x, ix, iy)
 
 
+def _upsample2x_even(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Factor-2 linear reconstruction anchored at EVEN positions.
+
+    x holds samples taken at rows/cols 0,2,4,... of an (h, w) grid; even
+    output positions reproduce them exactly, odd positions are the average
+    of their two neighbors (edge-clamped). Unlike align-corners resize,
+    the sample positions don't drift: out[2j] == x[j] bit-exactly.
+    """
+    b, hs, ws, c = x.shape
+    nxt = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+    x = jnp.stack([x, (x + nxt) * jnp.asarray(0.5, x.dtype)], axis=2)
+    x = x.reshape(b, 2 * hs, ws, c)[:, :h]
+    nxt = jnp.concatenate([x[:, :, 1:], x[:, :, -1:]], axis=2)
+    x = jnp.stack([x, (x + nxt) * jnp.asarray(0.5, x.dtype)], axis=3)
+    return x.reshape(b, h, 2 * ws, c)[:, :, :w]
+
+
 def warp_multi(tensors, flow, height_im, width_im, div_flow,
-               masked=True, pwc_norm=True):
+               masked=True, pwc_norm=True, approx=False):
     """Warp several NHWC tensors by ONE flow field with a single fused
     gather (concat on channels, sample once, split). Exact same result as
-    warping each tensor separately."""
+    warping each tensor separately.
+
+    approx=True: OPT-IN quarter-density mode for the full-resolution
+    guidance warps (the eval gather wall, PERF.md): the bilinear gather
+    runs only at even pixel positions (4x fewer descriptors) with the
+    EXACT full-resolution coordinates and source taps, and odd positions
+    are linearly interpolated from their warped neighbors. Exact wherever
+    the warped signal is locally linear between even pixels; differs at
+    texture/motion discontinuities. The zero-mask stays exact full-res.
+    """
     splits = [t.shape[-1] for t in tensors]
     stacked = jnp.concatenate(tensors, axis=-1)
-    ix, iy = _flow_to_coords(stacked.shape[1:3], flow, height_im, width_im,
+    h, w = stacked.shape[1:3]
+    ix, iy = _flow_to_coords((h, w), flow, height_im, width_im,
                              div_flow, pwc_norm=pwc_norm)
-    out = grid_sample_aligned(stacked, ix, iy)
+    if approx:
+        out = grid_sample_aligned(stacked, ix[:, ::2, ::2], iy[:, ::2, ::2])
+        out = _upsample2x_even(out, h, w)
+    else:
+        out = grid_sample_aligned(stacked, ix, iy)
     if masked:
         out = out * _pwc_mask(stacked.shape[1:3], flow, height_im,
                               width_im, div_flow, out.dtype)

@@ -311,3 +311,63 @@ def test_local_filter_3x3_matches_torch_unfold():
 
     got = np.asarray(ops.local_filter_3x3(jnp.asarray(x), jnp.asarray(k)))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_warp_multi_approx_mode():
+    """Quarter-density guidance warp: exact at even positions for any flow,
+    near-exact everywhere for smooth warped signals (ops/warp.py)."""
+    from irr_tpu.ops.warp import warp_multi, _upsample2x_even
+
+    # _upsample2x_even reconstructs even rows/cols bit-exactly
+    rng = np.random.RandomState(0)
+    lo = jnp.asarray(rng.randn(2, 5, 7, 3).astype(np.float32))
+    up = _upsample2x_even(lo, 9, 13)
+    assert up.shape == (2, 9, 13, 3)
+    np.testing.assert_array_equal(np.asarray(up[:, ::2, ::2]), np.asarray(lo))
+
+    h, w = 33, 49
+    # smooth image + constant flow: warped signal locally linear -> approx
+    # matches exact closely everywhere
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    img = np.stack([0.01 * xx + 0.02 * yy, 0.03 * xx - 0.01 * yy], -1)[None]
+    flow = np.full((1, h, w, 2), 0.05 * 3.0, np.float32)  # 3 px at div_flow
+    ex = warp_multi([jnp.asarray(img)], jnp.asarray(flow), h, w, 0.05)[0]
+    ap = warp_multi([jnp.asarray(img)], jnp.asarray(flow), h, w, 0.05,
+                    approx=True)[0]
+    # interior only: at the image border the out-of-range zero mask makes
+    # the warped signal non-linear, which is exactly where approx differs
+    np.testing.assert_allclose(np.asarray(ap[:, 5:-5, 5:-5]),
+                               np.asarray(ex[:, 5:-5, 5:-5]), atol=1e-5)
+
+    # random flow: even positions still EXACT (same coords, same taps,
+    # same mask); odd positions differ but stay bounded
+    flow_r = (rng.randn(1, h, w, 2) * 0.05 * 2).astype(np.float32)
+    imgr = rng.randn(1, h, w, 4).astype(np.float32)
+    ex = warp_multi([jnp.asarray(imgr)], jnp.asarray(flow_r), h, w, 0.05)[0]
+    ap = warp_multi([jnp.asarray(imgr)], jnp.asarray(flow_r), h, w, 0.05,
+                    approx=True)[0]
+    np.testing.assert_allclose(np.asarray(ap[:, ::2, ::2]),
+                               np.asarray(ex[:, ::2, ::2]), atol=1e-6)
+
+
+def test_irr_pwc_approx_guidance_flag():
+    """--model_approx_guidance touches only the L5/L6 guidance path: the
+    model still runs and stays close to the exact path at random init."""
+    from irr_tpu.models import IRR_PWC
+
+    m_ex = IRR_PWC(div_flow=0.05)
+    m_ap = IRR_PWC(div_flow=0.05, approx_guidance=True)
+    params = m_ex.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    batch = {"input1": jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32)),
+             "input2": jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))}
+    out_ex = m_ex.apply(params, batch, training=False)
+    out_ap = m_ap.apply(params, batch, training=False)
+    assert out_ap["flow"].shape == out_ex["flow"].shape
+    # random-init occ head outputs are near zero; guidance perturbation
+    # stays small at this scale
+    d = np.abs(np.asarray(out_ap["occ"]) - np.asarray(out_ex["occ"])).max()
+    assert np.isfinite(d)
+    np.testing.assert_allclose(np.asarray(out_ap["flow"]),
+                               np.asarray(out_ex["flow"]), atol=1e-4)

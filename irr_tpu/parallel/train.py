@@ -21,6 +21,20 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
+def pack_losses(ld):
+    """Add a `_packed` vector of all scalar losses (sorted-key order).
+
+    The runtime loop fetches loss scalars once per step; reading each dict
+    entry separately costs one device->host round-trip EACH (~0.4 s/step
+    through a tunneled device, measured: drain 187 s of a 572 s epoch).
+    Packing in-graph makes the whole fetch ONE small transfer
+    (runtime/loop.py _fetch_floats unpacks it)."""
+    import jax.numpy as jnp
+    keys = sorted(ld)
+    return dict(ld, _packed=jnp.stack([ld[k].astype(jnp.float32)
+                                       for k in keys]))
+
+
 def make_train_step(model, loss_fn, optimizer, mesh=None, donate=True):
     """Returns jitted `step(state, batch) -> (state, loss_dict)`.
 
@@ -42,7 +56,7 @@ def make_train_step(model, loss_fn, optimizer, mesh=None, donate=True):
         (_, loss_dict), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state), loss_dict
+        return TrainState(params, opt_state), pack_losses(loss_dict)
 
     if mesh is not None:
         rs = replicated_sharding(mesh)
@@ -62,7 +76,7 @@ def make_eval_step(model, loss_fn, mesh=None):
         batch = normalize_image_batch(batch)
         out = model.apply(params, batch, training=False)
         ld = loss_fn(out, batch, training=False)
-        return ld, out
+        return pack_losses(ld), out
 
     if mesh is not None:
         return jax.jit(step, in_shardings=(replicated_sharding(mesh),

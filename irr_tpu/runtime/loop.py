@@ -30,6 +30,12 @@ def _progressbar(iterable, desc, total=None, unit="it"):
 
 
 def _fetch_floats(loss_dict):
+    if "_packed" in loss_dict:
+        # one transfer for all scalars (parallel/train.py pack_losses):
+        # per-key reads cost a device->host round-trip each
+        keys = sorted(k for k in loss_dict if k != "_packed")
+        vals = np.asarray(loss_dict["_packed"])
+        return {k: float(v) for k, v in zip(keys, vals)}
     return {k: float(v) for k, v in loss_dict.items()}
 
 

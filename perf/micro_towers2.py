@@ -47,16 +47,22 @@ def conv3x3(x, w):
         preferred_element_type=x.dtype)
 
 
+def dev_rand(shape, dt):
+    """Generate on-device (host literals would ship through the tunnel:
+    a 1.9 GB matmul operand previously 413'd the remote compile)."""
+    k = jax.random.PRNGKey(hash(shape) % (2**31))
+    return jax.jit(lambda k: jax.random.uniform(k, shape, jnp.float32).astype(dt))(k)
+
+
 def main():
-    rng = np.random.RandomState(0)
     dt = jnp.bfloat16
     tower = [(115, 128), (243, 128), (371, 96), (467, 64), (531, 32),
              (563, 2)]
     print(f"shape {B}x{H}x{W}, bf16; v5e bf16 peak ~197 TFLOP/s")
     tot_conv = tot_mm = 0.0
     for cin, cout in tower:
-        x = jnp.asarray(rng.rand(B, H, W, cin).astype(np.float32)).astype(dt)
-        w = jnp.asarray(rng.rand(3, 3, cin, cout).astype(np.float32)).astype(dt)
+        x = dev_rand((B, H, W, cin), dt)
+        w = dev_rand((3, 3, cin, cout), dt)
 
         def body(c, i, x=x, w=w):
             return conv3x3(x + c.astype(dt) * 0, w).ravel()[0].astype(jnp.float32)
@@ -68,8 +74,8 @@ def main():
         # FLOP-equivalent matmul: (B*H*W, 9*cin) @ (9*cin, cout)
         m = B * H * W
         k = 9 * cin
-        a = jnp.asarray(rng.rand(m, k).astype(np.float32)).astype(dt)
-        bm = jnp.asarray(rng.rand(k, cout).astype(np.float32)).astype(dt)
+        a = dev_rand((m, k), dt)
+        bm = dev_rand((k, cout), dt)
 
         def body_mm(c, i, a=a, bm=bm):
             return jnp.dot(a + c.astype(dt) * 0, bm,
@@ -82,8 +88,7 @@ def main():
     print(f"tower convs total: {tot_conv:.2f} ms; matmul ceiling: {tot_mm:.2f} ms")
 
     # concat cost alone (the dense trail)
-    xs = [jnp.asarray(rng.rand(B, H, W, c).astype(np.float32)).astype(dt)
-          for c in (128, 115, 128, 96, 64, 32)]
+    xs = [dev_rand((B, H, W, c), dt) for c in (128, 115, 128, 96, 64, 32)]
 
     def body_cat(c, i):
         acc = xs[1] + c.astype(dt) * 0
@@ -96,8 +101,8 @@ def main():
 
     # grouped conv: flow+occ conv pair as ONE conv, feature_group_count=2
     for cin, cout in [(116, 128), (244, 128)]:
-        x2 = jnp.asarray(rng.rand(B, H, W, 2 * cin).astype(np.float32)).astype(dt)
-        wg = jnp.asarray(rng.rand(3, 3, cin, 2 * cout).astype(np.float32)).astype(dt)
+        x2 = dev_rand((B, H, W, 2 * cin), dt)
+        wg = dev_rand((3, 3, cin, 2 * cout), dt)
 
         def body_g(c, i, x2=x2, wg=wg):
             y = lax.conv_general_dilated(
@@ -109,8 +114,8 @@ def main():
         ms_g = bench_ingraph(body_g)
 
         # vs 2 separate convs
-        x1 = jnp.asarray(rng.rand(B, H, W, cin).astype(np.float32)).astype(dt)
-        w1 = jnp.asarray(rng.rand(3, 3, cin, cout).astype(np.float32)).astype(dt)
+        x1 = dev_rand((B, H, W, cin), dt)
+        w1 = dev_rand((3, 3, cin, cout), dt)
 
         def body_2(c, i, x1=x1, w1=w1):
             y1 = conv3x3(x1 + c.astype(dt) * 0, w1)

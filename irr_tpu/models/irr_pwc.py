@@ -42,7 +42,8 @@ def _swap(x):
 class IRR_PWC(Module):
     """ctor mirrors the reference contract: (args, div_flow=0.05)."""
 
-    def __init__(self, args=None, div_flow=0.05, approx_guidance=False):
+    def __init__(self, args=None, div_flow=0.05, approx_guidance=False,
+                 grouped_towers=False):
         self.args = args
         self.div_flow = float(div_flow)
         # --model_approx_guidance=True: quarter-density L5/L6 guidance
@@ -50,6 +51,11 @@ class IRR_PWC(Module):
         # the default path stays reference-exact; opt in for ~4x fewer
         # full-res gather descriptors at a small guidance-fidelity cost.
         self.approx_guidance = bool(approx_guidance)
+        # --model_grouped_towers=True: run each level's flow+occ estimator
+        # and context-net pairs as feature_group_count=2 grouped convs
+        # (nn/pwc.py grouped_flow_occ_stage) — EXACT same math (pinned in
+        # tests/test_merged_stage.py), half the conv dispatches.
+        self.grouped_towers = bool(grouped_towers)
 
         self.extractor = FeatureExtractor(NUM_CHS)
         ch_in_flo = DIM_CORR + 32 + 2
@@ -123,17 +129,25 @@ class IRR_PWC(Module):
 
                 flow = rescale_flow(flow, dvf, width_im, height_im, True)
 
-                x_intm, flow_res = self.flow_estimators(
-                    params["flow_estimators"], cat_features(corr, x_1by1, flow))
-                flow_est = flow + flow_res
-                flow_cont = flow_est + self.context_networks(
-                    params["context_networks"], cat_features(x_intm, flow_est))
+                if self.grouped_towers:
+                    from ..nn.pwc import grouped_flow_occ_stage
+                    flow_cont, occ_cont = grouped_flow_occ_stage(
+                        params["flow_estimators"], params["occ_estimators"],
+                        params["context_networks"],
+                        params["occ_context_networks"],
+                        corr, x_1by1, flow, occ)
+                else:
+                    x_intm, flow_res = self.flow_estimators(
+                        params["flow_estimators"], cat_features(corr, x_1by1, flow))
+                    flow_est = flow + flow_res
+                    flow_cont = flow_est + self.context_networks(
+                        params["context_networks"], cat_features(x_intm, flow_est))
 
-                x_intm_occ, occ_res = self.occ_estimators(
-                    params["occ_estimators"], cat_features(corr, x_1by1, occ))
-                occ_est = occ + occ_res
-                occ_cont = occ_est + self.occ_context_networks(
-                    params["occ_context_networks"], cat_features(x_intm_occ, occ_est))
+                    x_intm_occ, occ_res = self.occ_estimators(
+                        params["occ_estimators"], cat_features(corr, x_1by1, occ))
+                    occ_est = occ + occ_res
+                    occ_cont = occ_est + self.occ_context_networks(
+                        params["occ_context_networks"], cat_features(x_intm_occ, occ_est))
 
                 # bilateral refinement with warped full-res images
                 # (IRR_PWC.py:126-138). QUIRK, replicated mechanically: the

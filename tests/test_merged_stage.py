@@ -69,3 +69,24 @@ def test_grouped_stage_matches_separate_paths():
     fc, oc = grouped_flow_occ_stage(pfe, poe, pcf, pco, corr, x1by1, flow, occ)
     np.testing.assert_allclose(np.asarray(fc), np.asarray(flow_cont), atol=1e-4)
     np.testing.assert_allclose(np.asarray(oc), np.asarray(occ_cont), atol=1e-4)
+
+
+def test_model_grouped_towers_flag():
+    """--model_grouped_towers wiring: same outputs up to iterative ulp
+    amplification. The single-stage error is ~2e-6 (tests above); the
+    5 shared-weight refinement levels + warps amplify ulp-level conv
+    reassociation to ~1e-3-level output deltas — the same class of
+    divergence the reference exhibits between torch CPU and GPU
+    (ops/warp.py mask-mode docstring)."""
+    from irr_tpu.models import IRR_PWC
+
+    m0 = IRR_PWC()
+    m1 = IRR_PWC(grouped_towers=True)
+    p = m0.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batch = {"input1": jnp.asarray(rng.rand(2, 64, 96, 3).astype(np.float32)),
+             "input2": jnp.asarray(rng.rand(2, 64, 96, 3).astype(np.float32))}
+    f0 = np.asarray(m0.apply(p, batch, training=False)["flow"])
+    f1 = np.asarray(m1.apply(p, batch, training=False)["flow"])
+    d = np.abs(f0 - f1)
+    assert d.max() < 0.05 and d.mean() < 0.005, (d.max(), d.mean())

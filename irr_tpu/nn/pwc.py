@@ -119,135 +119,14 @@ class OccContextNetwork(ContextNetwork):
 
 
 # ---------------------------------------------------------------------------
-# merged flow+occ estimator stage (exact, TPU throughput)
-# ---------------------------------------------------------------------------
-#
-# The IRR estimators run the SAME dense-tower shape twice per level (flow
-# and occ) on inputs that differ only in the last channels
-# ([corr, x1by1, flow] vs [corr, x1by1, occ]). Merging each pair of convs
-# into ONE conv with block-structured weights (zeros across paths) halves
-# the number of MXU dispatches and doubles the output width N — identical
-# math: the extra weight entries are exact zeros, contributing +0.0 terms.
-# Params stay the two original per-path trees; merged kernels are assembled
-# at trace time from them.
-#
-# MEASURED (v5e, round 1): end-to-end eval throughput was unchanged — the
-# zero blocks double each conv's FLOPs, which cancels the ~1.5-2x
-# efficiency gain from the wider N. Kept as verified infrastructure (exact
-# to ~2e-6 vs the separate path, see tests/test_merged_stage.py); becomes a
-# win only with a sparse/grouped lowering that skips the zero blocks.
-
-def _assemble_merged_weight(w_f, w_o, picks_f, picks_o, total_in):
-    """Block weight (3, 3, total_in, cout_f + cout_o) from per-path kernels.
-
-    picks_*: list of (src_start, dst_start, count) channel copies mapping
-    each path's expected input layout into the merged activation layout.
-    """
-    cout_f = w_f.shape[3]
-    cout_o = w_o.shape[3]
-    big = jnp.zeros((3, 3, total_in, cout_f + cout_o), w_f.dtype)
-    for src, dst, cnt in picks_f:
-        big = big.at[:, :, dst:dst + cnt, :cout_f].set(w_f[:, :, src:src + cnt, :])
-    for src, dst, cnt in picks_o:
-        big = big.at[:, :, dst:dst + cnt, cout_f:].set(w_o[:, :, src:src + cnt, :])
-    return big
-
-
-def _merged_conv(p_f, p_o, x, picks_f, picks_o, relu=True, dilation=1):
-    from .core import compute_dtype, leaky_relu
-    import jax.numpy as _jnp
-    from jax import lax as _lax
-    cout = p_f["w"].shape[3] + p_o["w"].shape[3]
-    dt = compute_dtype() if cout >= 16 else _jnp.float32
-    w = _assemble_merged_weight(p_f["w"], p_o["w"], picks_f, picks_o,
-                                x.shape[-1]).astype(dt)
-    pad = dilation
-    y = _lax.conv_general_dilated(
-        x.astype(dt), w, (1, 1), [(pad, pad), (pad, pad)],
-        rhs_dilation=(dilation, dilation),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=dt)
-    y = y + jnp.concatenate([p_f["b"], p_o["b"]]).astype(dt)
-    return leaky_relu(y) if relu else y
-
-
-def merged_flow_occ_stage(p_flow_est, p_occ_est, p_ctx_f, p_ctx_o,
-                          corr, x1by1, flow, occ):
-    """One IRR level's flow+occ estimation (dense towers + context nets)
-    with every per-path conv pair fused. Returns (flow_cont, occ_cont) —
-    exactly FlowEstimatorDense/OccEstimatorDense + the context networks
-    composed as in IRR_PWC.py:108-123 (flow/occ in level-local units)."""
-    from .core import cat_features
-    base = corr.shape[-1] + x1by1.shape[-1]      # shared [corr, x1by1] prefix
-    widths = [128, 128, 96, 64, 32]
-
-    # merged layout M^k = [y^{k-1}, ..., y^1, corr, x1by1, flow, occ],
-    # y^j = [c^j_flow, c^j_occ] (2*w_j channels, newest block first)
-    M = cat_features(corr, x1by1, flow, occ)
-
-    def dense_picks(k):
-        """picks for dense conv k (0-based): flow input layout is
-        [c^{k}_f ... c^1_f, corr, x1by1, flow] (newest first)."""
-        picks_f, picks_o = [], []
-        src = 0
-        dst = 0
-        for j in range(k, 0, -1):                 # newest first: c^{k} .. c^1
-            wj = widths[j - 1]
-            picks_f.append((src, dst, wj))         # flow half of y^j
-            picks_o.append((src, dst + wj, wj))    # occ half of y^j
-            src += wj
-            dst += 2 * wj
-        tail = dst                                 # start of [corr,x1by1,flow,occ]
-        picks_f.append((src, tail, base + 2))      # corr + x1by1 + flow
-        picks_o.append((src, tail, base))          # corr + x1by1
-        picks_o.append((src + base, tail + base + 2, 1))  # occ
-        return picks_f, picks_o
-
-    names = ["conv1", "conv2", "conv3", "conv4", "conv5"]
-    for k, name in enumerate(names):
-        pf, po = dense_picks(k)
-        y = _merged_conv(p_flow_est[name], p_occ_est[name], M, pf, po, relu=True)
-        M = jnp.concatenate([y, M], axis=-1)
-
-    pf, po = dense_picks(5)
-    res = _merged_conv(p_flow_est["conv_last"], p_occ_est["conv_last"], M,
-                       pf, po, relu=False)
-    flow_res = res[..., :2]
-    occ_res = res[..., 2:3]
-    flow_est = flow + flow_res
-    occ_est = occ + occ_res
-
-    # context networks on [x5, flow_est] / [x5_occ, occ_est]
-    M = cat_features(M, flow_est, occ_est)
-    pf, po = dense_picks(5)
-    tail = sum(2 * w for w in widths)
-    pf = pf + [(sum(widths) + base + 2, tail + base + 3, 2)]       # flow_est
-    po = po + [(sum(widths) + base + 1, tail + base + 5, 1)]       # occ_est
-    dilations = [1, 2, 4, 8, 16, 1, 1]
-    relus = [True] * 6 + [False]
-    h = _merged_conv(p_ctx_f[0], p_ctx_o[0], M, pf, po, relu=True,
-                     dilation=dilations[0])
-    ctx_widths = [128, 128, 128, 96, 64, 32]
-    for i in range(1, 7):
-        wprev = ctx_widths[i - 1]
-        pf = [(0, 0, wprev)]
-        po = [(0, wprev, wprev)]
-        h = _merged_conv(p_ctx_f[i], p_ctx_o[i], h, pf, po, relu=relus[i],
-                         dilation=dilations[i])
-    flow_cont = flow_est + h[..., :2]
-    occ_cont = occ_est + h[..., 2:3]
-    return flow_cont, occ_cont
-
-
-# ---------------------------------------------------------------------------
 # grouped flow+occ estimator stage (exact, zero redundant FLOPs)
 # ---------------------------------------------------------------------------
 #
-# Second fusion formulation: feature_group_count=2 instead of
-# block-of-zeros weights. Each conv pair (flow tower / occ tower) becomes
-# ONE grouped conv whose two groups carry the two paths with their OWN
-# weights — no zero blocks, so unlike merged_flow_occ_stage the FLOPs do
-# not double; the cost is maintaining the activation in grouped layout
+# Each conv pair (flow tower / occ tower) becomes ONE
+# feature_group_count=2 conv whose two groups carry the two paths with
+# their OWN weights. (A round-1 block-of-zeros formulation doubled every
+# conv's FLOPs, which cancelled its dispatch win end-to-end — measured,
+# then deleted in r3; grouped is its replacement with no redundant FLOPs.) the cost is maintaining the activation in grouped layout
 # (the shared [corr, x1by1] prefix is duplicated across the groups, a
 # bandwidth-only cost). The occ path's narrower input (occ 1ch vs flow
 # 2ch) is equalized with trailing zero channels + zero weight rows, and
@@ -292,8 +171,9 @@ def _grouped_conv(p_f, p_o, x, relu=True, dilation=1, pad_in=0, pad_out=0):
 def grouped_flow_occ_stage(p_flow_est, p_occ_est, p_ctx_f, p_ctx_o,
                            corr, x1by1, flow, occ):
     """One IRR level's flow+occ estimation with every per-path conv pair
-    fused as a feature_group_count=2 conv. Same contract and exact same
-    math as merged_flow_occ_stage / the separate towers."""
+    fused as a feature_group_count=2 conv. Exact same math as the
+    separate towers (reference pwc_modules.py:153-225 composed as
+    IRR_PWC.py:108-123)."""
     widths = [128, 128, 96, 64, 32]
     zeros1 = jnp.zeros(occ.shape[:3] + (1,), occ.dtype)
     # grouped layout: [g_f | g_o], g_f = [newest..oldest, corr, x1by1, flow],

@@ -1,0 +1,32 @@
+#!/bin/bash
+# Evaluate a trained checkpoint on the frozen synthetic ChairsOcc valid
+# split (the parity role of reference scripts/validation/
+# IRR-PWC_flyingChairs.sh:19-31), in three model modes:
+#   exact           - the reference-exact path (the number for RESULTS.md)
+#   approx_guidance - quarter-density L5/L6 guidance warps (EPE cost of
+#                     the opt-in mode, VERDICT r2 #1c)
+#   grouped_towers  - grouped-conv towers (must match exact to ~1e-3)
+#
+# Usage: scripts/eval_synth_ckpt.sh <experiment_dir> [dataset_root]
+
+set -e
+EXP=${1:?usage: eval_synth_ckpt.sh <experiment_dir> [dataset_root]}
+ROOT=${2:-/tmp/chairs_occ_1850}
+
+common=(--batch_size_val=4 --model=IRR_PWC --model_div_flow=0.05
+        --validation_loss=MultiScaleEPE_PWC_Bi_Occ_upsample
+        --validation_dataset=FlyingChairsOccValid
+        --validation_dataset_root="$ROOT"
+        --validation_dataset_photometric_augmentations=False
+        --validation_key=epe --evaluation=True --num_workers=1
+        --data_parallel_devices=1
+        --checkpoint="$EXP" --checkpoint_mode=resume_from_best)
+
+for mode in exact approx grouped; do
+  extra=()
+  [ "$mode" = approx ] && extra=(--model_approx_guidance=True)
+  [ "$mode" = grouped ] && extra=(--model_grouped_towers=True)
+  echo "=== mode: $mode ==="
+  python main.py "${common[@]}" "${extra[@]}" --save="$EXP/eval_$mode" \
+    | grep -E "epe|F1" || true
+done

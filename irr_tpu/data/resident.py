@@ -40,6 +40,18 @@ def _storage_dtype(key, arr):
     return arr.dtype
 
 
+def _gather_batch(arrays, idx):
+    """On-device batch gather from the resident arrays (f16 -> f32)."""
+    out = {}
+    for k, a in arrays.items():
+        g = jnp.take(a, idx, axis=0)
+        if g.dtype == jnp.float16:
+            g = g.astype(jnp.float32)
+        out[k] = g
+    out["index"] = idx
+    return out
+
+
 class ResidentData:
     """Decode a whole dataset, stack per-field, upload once to device."""
 
@@ -58,18 +70,7 @@ class ResidentData:
         logging.info("resident %s: %d samples, %.0f MB -> HBM", name, n, total_mb)
         self.n = n
         self.arrays = {k: _upload(v, chunk) for k, v in host.items()}
-
-        def gather(arrays, idx):
-            out = {}
-            for k, a in arrays.items():
-                g = jnp.take(a, idx, axis=0)
-                if g.dtype == jnp.float16:
-                    g = g.astype(jnp.float32)
-                out[k] = g
-            out["index"] = idx
-            return out
-
-        self._gather = jax.jit(gather)
+        self._gather = jax.jit(_gather_batch)
 
     def gather(self, idx):
         return self._gather(self.arrays, jnp.asarray(idx, jnp.int32))
@@ -141,21 +142,46 @@ class ResidentBatchFn:
         self._photometric = bool(photometric)
         if self._photometric:
             from ..augment.photometric import photometric_pair_batch
+            self._photo_body = photometric_pair_batch
+        # fuse gather (+ photometric) (+ affine body) into ONE jitted
+        # program: each separate dispatch costs a host->device round-trip
+        # on high-latency links, and fusing drops the intermediate
+        # full-batch buffers
+        inner_body = getattr(inner_aug, "_body", None)
+        if inner_aug is None or inner_body is not None:
+            from ..nn.core import normalize_image_batch
 
-            def photo(batch, key):
-                im1, im2 = photometric_pair_batch(
-                    batch["input1"], batch["input2"], key)
-                return dict(batch, input1=im1, input2=im2)
+            def fused(arrays, idx, key):
+                g = _gather_batch(arrays, idx)
+                if self._photometric:
+                    key, k_p = jax.random.split(key)
+                    im1, im2 = self._photo_body(g["input1"], g["input2"], k_p)
+                    g = dict(g, input1=im1, input2=im2)
+                if inner_body is not None:
+                    key, k_a = jax.random.split(key)
+                    g = inner_body(normalize_image_batch(g), k_a,
+                                   addnoise=inner_aug._addnoise,
+                                   crop=inner_aug._crop)
+                return g
 
-            self._photo = jax.jit(photo)
+            self._fused = jax.jit(fused)
+        else:
+            self._fused = None
 
     def __call__(self, batch, key=None):
         if key is None:
             key = jax.random.PRNGKey(0)
+        if self._fused is not None:
+            key, sub = jax.random.split(key)
+            g = self._fused(self._resident.arrays,
+                            jnp.asarray(batch["index"], jnp.int32), sub)
+            return g, key
         g = self._resident.gather(batch["index"])
         if self._photometric:
             key, sub = jax.random.split(key)
-            g = self._photo(g, sub)
+            im1, im2 = jax.jit(self._photo_body)(
+                g["input1"], g["input2"], sub)
+            g = dict(g, input1=im1, input2=im2)
         if self._inner is not None:
             return self._inner(g, key)
         return g, key

@@ -145,3 +145,32 @@ def test_main_resident_end_to_end(occ_root, tmp_path):
     ]
     best = main_module.main(argv)
     assert np.isfinite(best)
+
+
+def test_photometric_distribution_matches_host_chain():
+    """The on-device photometric chain must match the HOST PIL-exact chain
+    in distribution (same factor laws, same random op order, shared pair
+    draw): compare per-pixel output moments over many draws."""
+    from irr_tpu.augment.photometric import photometric_pair_batch
+    from irr_tpu.data.transforms import PhotometricPair
+
+    rng = np.random.RandomState(3)
+    im1 = (rng.rand(12, 18, 3) * 255).astype(np.uint8)
+    im2 = (rng.rand(12, 18, 3) * 255).astype(np.uint8)
+    n = 192
+
+    # device: one batch of n identical pairs, independent per-sample draws
+    d1, _ = photometric_pair_batch(
+        jnp.asarray(np.broadcast_to(im1, (n,) + im1.shape)),
+        jnp.asarray(np.broadcast_to(im2, (n,) + im2.shape)),
+        jax.random.PRNGKey(0))
+    dev = np.asarray(d1)
+
+    host = np.stack([
+        PhotometricPair(enabled=True, rng=np.random.RandomState(1000 + i))(
+            im1, im2)[0] for i in range(n)])
+
+    # moments of the induced per-image distribution; tolerances sized by
+    # the sampling error of n=192 draws (std/sqrt(n) ~ 0.02)
+    assert abs(dev.mean() - host.mean()) < 0.04, (dev.mean(), host.mean())
+    assert abs(dev.std() - host.std()) < 0.04, (dev.std(), host.std())

@@ -74,9 +74,15 @@ class CheckpointSaver:
         with open(latest, "wb") as f:  # file handle: savez must not append .npz
             np.savez(f, **flat)
         if stats_dict is not None:
+            def _jsonable(v):
+                if isinstance(v, (bool, int, np.integer)):
+                    return int(v)
+                if isinstance(v, (float, np.floating)):
+                    return float(v)
+                return v
             with open(latest.replace(self._extension, ".json"), "w") as f:
-                json.dump({k: float(v) if isinstance(v, (int, float, np.floating)) else v
-                           for k, v in stats_dict.items()}, f, indent=2, sort_keys=True)
+                json.dump({k: _jsonable(v) for k, v in stats_dict.items()},
+                          f, indent=2, sort_keys=True)
         if store_as_best:
             best = os.path.join(directory, self._prefix + self._best_postfix + self._extension)
             shutil.copyfile(latest, best)
@@ -130,5 +136,15 @@ class CheckpointSaver:
     def restore_opt_state(self, filename, opt_state):
         """Exact-resume path: restore optimizer state leaves saved under 'opt/'."""
         ckpt = dict(np.load(filename))
-        return _replace_leaves(
-            opt_state, lambda path, leaf: ckpt.get("opt/" + path, leaf))
+        counts = {"restored": 0}
+
+        def pick(path, leaf):
+            if "opt/" + path in ckpt:
+                counts["restored"] += 1
+                return ckpt["opt/" + path]
+            return leaf
+
+        new_state = _replace_leaves(opt_state, pick)
+        logging.info("Restored %d optimizer-state leaves from %s",
+                     counts["restored"], filename)
+        return new_state

@@ -92,13 +92,16 @@ class TrainingEpoch:
     """One training epoch over a loader of numpy batches."""
 
     def __init__(self, args, step_fn, loader, augmentation=None,
-                 desc="Training Epoch"):
+                 desc="Training Epoch", periodic_save=None):
         self._args = args
         self._desc = desc
         self._loader = loader
         self._step_fn = step_fn          # (state, batch) -> (state, loss_dict)
         self._augmentation = augmentation
         self._training_key = getattr(args, "training_key", "total_loss")
+        # preemption insurance: save state every N batches (--save_every_batches)
+        self._periodic_save = periodic_save  # callable(state, batch_index)
+        self._save_every = int(getattr(args, "save_every_batches", 0) or 0)
 
     def run(self, state, aug_state=None):
         moving_averages = None
@@ -168,6 +171,12 @@ class TrainingEpoch:
                 with timers.span("drain"):
                     progress.set_postfix(drain(pending))
             pending = (loss_dict, batch_size)
+            if (self._periodic_save is not None and self._save_every
+                    and (i + 1) % self._save_every == 0):
+                # the host read inside the save syncs on the in-flight step;
+                # amortized over save_every batches this is noise
+                with timers.span("ckpt"):
+                    self._periodic_save(state, i + 1)
             if trace_active and i == trace_start + 3:
                 stop_trace(loss_dict)
                 trace_active = False
@@ -349,9 +358,31 @@ def exec_runtime(args, checkpoint_saver, state, step_fn, eval_fn,
                     state = set_lr(state, lr)
 
             if train_loader is not None:
+                periodic_save = None
+                if (checkpoint_saver is not None
+                        and getattr(args, "save_every_batches", 0)):
+                    def periodic_save(s, batch_idx, _epoch=epoch):
+                        checkpoint_saver.save_latest(
+                            directory=args.save, params=s.params,
+                            stats_dict={"epoch": _epoch - 1,
+                                        "resume_epoch": _epoch,
+                                        "phase": "mid_epoch",
+                                        "batches_done": batch_idx},
+                            opt_state=s.opt_state)
                 state, avg_loss_dict, _ = TrainingEpoch(
                     args, step_fn, train_loader,
-                    augmentation=training_augmentation, desc="   Train").run(state)
+                    augmentation=training_augmentation, desc="   Train",
+                    periodic_save=periodic_save).run(state)
+                if checkpoint_saver is not None and state is not None \
+                        and validation_loader is not None:
+                    # bank the epoch's training before validation starts:
+                    # a crash during validation keeps the trained weights
+                    checkpoint_saver.save_latest(
+                        directory=args.save, params=state.params,
+                        stats_dict=dict(avg_loss_dict, epoch=epoch,
+                                        resume_epoch=epoch + 1,
+                                        phase="trained"),
+                        opt_state=state.opt_state)
 
             if validation_loader is not None:
                 params = state.params if state is not None else None
@@ -373,7 +404,9 @@ def exec_runtime(args, checkpoint_saver, state, step_fn, eval_fn,
                 checkpoint_saver.save_latest(
                     directory=args.save,
                     params=state.params,
-                    stats_dict=dict(avg_loss_dict, epoch=epoch),
+                    stats_dict=dict(avg_loss_dict, epoch=epoch,
+                                    resume_epoch=epoch + 1,
+                                    phase="validated"),
                     store_as_best=store_as_best,
                     opt_state=state.opt_state)
         if validation_loader is not None and np.isfinite(best_validation_loss):

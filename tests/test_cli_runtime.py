@@ -86,6 +86,87 @@ def test_main_train_and_eval(chairs_root, tmp_path):
     assert "epe" in avg and np.isfinite(avg["epe"])
 
 
+def test_periodic_save_and_exact_resume(chairs_root, tmp_path):
+    """Preemption insurance: --save_every_batches writes mid-epoch
+    checkpoints (phase=mid_epoch), the epoch is banked before validation
+    (phase=trained), and a resumed run restores optimizer state exactly
+    (Adam moments saved under 'opt/')."""
+    import json
+    from unittest import mock
+
+    import main as main_module
+    from irr_tpu.runtime.checkpoint import CheckpointSaver
+
+    save = str(tmp_path / "run_resume")
+    base = [
+        "--batch_size=2", "--batch_size_val=2",
+        "--model=FlowNet1S",
+        "--training_loss=MultiScaleEPE_FlowNet",
+        "--validation_loss=MultiScaleEPE_FlowNet",
+        "--optimizer=Adam", "--optimizer_lr=1e-4",
+        "--training_dataset=FlyingChairsFull",
+        f"--training_dataset_root={chairs_root}",
+        "--validation_dataset=FlyingChairsFull",
+        f"--validation_dataset_root={chairs_root}",
+        "--validation_key=epe",
+        "--num_workers=1", "--data_parallel_devices=1",
+        f"--save={save}",
+    ]
+
+    phases = []
+    orig_save = CheckpointSaver.save_latest
+
+    def spy(self, *a, **kw):
+        phases.append((kw.get("stats_dict") or {}).get("phase"))
+        return orig_save(self, *a, **kw)
+
+    with mock.patch.object(CheckpointSaver, "save_latest", spy):
+        best = main_module.main(
+            base + ["--total_epochs=1", "--save_every_batches=1"])
+    assert np.isfinite(best)
+    # 4 chairs / batch 2 = 2 train batches -> 2 mid-epoch saves, then the
+    # pre-validation bank, then the post-validation save
+    assert phases == ["mid_epoch", "mid_epoch", "trained", "validated"]
+    with open(os.path.join(save, "checkpoint_latest.json")) as f:
+        stats = json.load(f)
+    assert stats["phase"] == "validated" and stats["resume_epoch"] == 2
+    ckpt = np.load(os.path.join(save, "checkpoint_latest.ckpt"))
+    assert any(k.startswith("opt/") for k in ckpt.files)
+
+    # resume exactly where the sidecar says; opt-state leaves come back
+    best2 = main_module.main(
+        base + ["--total_epochs=2", f"--checkpoint={save}",
+                f"--start_epoch={stats['resume_epoch']}"])
+    assert np.isfinite(best2)
+    with open(os.path.join(save, "logbook.txt")) as f:
+        logbook = f.read()
+    assert "optimizer-state leaves" in logbook
+    with open(os.path.join(save, "checkpoint_latest.json")) as f:
+        stats2 = json.load(f)
+    assert stats2["epoch"] == 2 and stats2["resume_epoch"] == 3
+
+
+def test_supervisor_resume_epoch(tmp_path):
+    """scripts/supervise_train.py reads the resume marker from the sidecar."""
+    import json
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "supervise_train",
+        os.path.join(os.path.dirname(__file__), os.pardir,
+                     "scripts", "supervise_train.py"))
+    sup = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sup)
+
+    assert sup._resume_epoch(str(tmp_path)) is None
+    p = tmp_path / "checkpoint_latest.json"
+    p.write_text(json.dumps({"epoch": 3, "resume_epoch": 4, "phase": "trained"}))
+    assert sup._resume_epoch(str(tmp_path)) == 4
+    p.write_text(json.dumps({"epoch": 3}))  # pre-marker sidecar
+    assert sup._resume_epoch(str(tmp_path)) == 4
+    assert sup._arg_value(["--save", "x", "--total_epochs=7"], "--save") == "x"
+    assert sup._arg_value(["--total_epochs=7"], "--total_epochs") == "7"
+
+
 def test_training_augmentation_flag(chairs_root, tmp_path):
     """RandomAffineFlow via the CLI reflection path."""
     import main as main_module

@@ -52,10 +52,63 @@ def _gather_batch(arrays, idx):
     return out
 
 
-class ResidentData:
-    """Decode a whole dataset, stack per-field, upload once to device."""
+def _sharded_gather(mesh, arrays, idx):
+    """Gather from a SAMPLE-SHARDED resident set (multi-chip mode).
 
-    def __init__(self, dataset, chunk=64, name="dataset"):
+    Each device holds a contiguous sample shard. For a global index batch
+    (replicated), every device takes its local hits (masked to zero
+    elsewhere) and one `psum_scatter` over the data axis both sums the
+    single nonzero contribution per row AND leaves each device exactly
+    its batch shard — the whole cross-device exchange is ONE
+    reduce-scatter riding ICI, and the output is already sharded the way
+    the train step's in_shardings want it. Dataset capacity scales
+    linearly with mesh size (a 16 GB/chip budget becomes N x 16 GB).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = int(mesh.devices.size)
+    if idx.shape[0] % n_dev:
+        raise ValueError(
+            f"sharded resident gather needs batch ({idx.shape[0]}) divisible "
+            f"by the mesh size ({n_dev})")
+
+    def local(arrs, li):
+        n_local = next(iter(arrs.values())).shape[0]
+        rel = li - jax.lax.axis_index("data") * n_local
+        ok = (rel >= 0) & (rel < n_local)
+        relc = jnp.clip(rel, 0, n_local - 1)
+        out = {}
+        for k, a in arrs.items():
+            g = jnp.take(a, relc, axis=0)
+            g = jnp.where(ok.reshape((-1,) + (1,) * (g.ndim - 1)),
+                          g, jnp.zeros((), g.dtype))
+            out[k] = jax.lax.psum_scatter(g, "data", scatter_dimension=0,
+                                          tiled=True)
+        return out
+
+    out = jax.shard_map(local, mesh=mesh,
+                        in_specs=(P("data"), P()), out_specs=P("data"))(
+        arrays, idx)
+    out = {k: v.astype(jnp.float32) if v.dtype == jnp.float16 else v
+           for k, v in out.items()}
+    # match the rest of the batch: the train step's in_shardings put every
+    # leaf's leading axis on the data axis
+    from jax.sharding import NamedSharding
+    out["index"] = jax.lax.with_sharding_constraint(
+        idx, NamedSharding(mesh, P("data")))
+    return out
+
+
+class ResidentData:
+    """Decode a whole dataset, stack per-field, upload once to device.
+
+    With `mesh` (>1 device): the sample axis is sharded over the mesh's
+    data axis (padded by wrapping to a multiple of the mesh size; the pad
+    rows are never indexed because index batches draw from [0, n)), and
+    gathers go through _sharded_gather.
+    """
+
+    def __init__(self, dataset, chunk=64, name="dataset", mesh=None):
         n = len(dataset)
         first = dataset[0]
         keys = [k for k in _ARRAY_KEYS if k in first]
@@ -67,10 +120,30 @@ class ResidentData:
             for k in keys:
                 host[k][i] = ex[k]
         total_mb = sum(a.nbytes for a in host.values()) / 1e6
-        logging.info("resident %s: %d samples, %.0f MB -> HBM", name, n, total_mb)
         self.n = n
-        self.arrays = {k: _upload(v, chunk) for k, v in host.items()}
-        self._gather = jax.jit(_gather_batch)
+        self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_dev = int(self.mesh.devices.size)
+            pad = (-n) % n_dev
+            if pad:
+                host = {k: np.concatenate([v, v[:pad]]) for k, v in host.items()}
+            logging.info("resident %s: %d samples, %.0f MB -> HBM, "
+                         "sample-sharded over %d devices (%.0f MB/device)",
+                         name, n, total_mb, n_dev, total_mb / n_dev)
+            sh = NamedSharding(self.mesh, P("data"))
+            self.arrays = {k: jax.device_put(v, sh) for k, v in host.items()}
+        else:
+            logging.info("resident %s: %d samples, %.0f MB -> HBM",
+                         name, n, total_mb)
+            self.arrays = {k: _upload(v, chunk) for k, v in host.items()}
+        self._gather = jax.jit(self.gather_in_graph)
+
+    def gather_in_graph(self, arrays, idx):
+        """The gather body, for embedding inside a larger jitted program."""
+        if self.mesh is not None:
+            return _sharded_gather(self.mesh, arrays, idx)
+        return _gather_batch(arrays, idx)
 
     def gather(self, idx):
         return self._gather(self.arrays, jnp.asarray(idx, jnp.int32))
@@ -152,7 +225,7 @@ class ResidentBatchFn:
             from ..nn.core import normalize_image_batch
 
             def fused(arrays, idx, key):
-                g = _gather_batch(arrays, idx)
+                g = resident.gather_in_graph(arrays, idx)
                 if self._photometric:
                     key, k_p = jax.random.split(key)
                     im1, im2 = self._photo_body(g["input1"], g["input2"], k_p)

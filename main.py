@@ -48,7 +48,10 @@ def main(argv=None):
 
     key = config.configure_random_seed(args)
 
-    train_loader, validation_loader = config.configure_data_loaders(args)
+    n_devices = args.data_parallel_devices or len(jax.devices())
+    mesh = make_mesh(n_devices) if n_devices > 1 else None
+
+    train_loader, validation_loader = config.configure_data_loaders(args, mesh=mesh)
     if train_loader is None and validation_loader is None:
         logging.info("No dataset could be loaded successfully. "
                      "Please check dataset paths!")
@@ -62,8 +65,6 @@ def main(argv=None):
     params = jax.jit(model.init)(key)
     params = config.restore_if_requested(args, checkpoint_saver, params)
 
-    n_devices = args.data_parallel_devices or len(jax.devices())
-    mesh = make_mesh(n_devices) if n_devices > 1 else None
     with LoggingBlock("Devices", emph=True):
         logging.info("backend: %s", jax.default_backend())
         logging.info("devices: %d (data-parallel mesh: %s)",

@@ -147,6 +147,79 @@ def test_main_resident_end_to_end(occ_root, tmp_path):
     assert np.isfinite(best)
 
 
+def test_sharded_resident_gather_matches_dataset(occ_root):
+    """Sample-sharded resident mode (multi-chip): the shard_map
+    local-take + psum_scatter gather returns exactly the dataset rows,
+    sharded over the mesh's data axis."""
+    from irr_tpu.data.datasets import FlyingChairsOccFull
+    from irr_tpu.data.resident import ResidentData
+    from irr_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = make_mesh(8)
+    ds = FlyingChairsOccFull(root=occ_root, photometric_augmentations=False)
+    rd = ResidentData(ds, mesh=mesh)  # n=6 -> padded to 8, 1 sample/device
+    assert rd.mesh is mesh
+
+    idx = np.array([5, 0, 3, 3, 1, 4, 2, 0], np.int32)  # B=8, repeats ok
+    got = rd.gather(idx)
+    assert got["input1"].sharding.spec == jax.sharding.PartitionSpec("data")
+    for b, i in enumerate(idx):
+        ex = ds[int(i)]
+        np.testing.assert_array_equal(np.asarray(got["input1"][b]), ex["input1"])
+        np.testing.assert_allclose(np.asarray(got["target1"][b]),
+                                   ex["target1"], atol=0.03)  # f16 storage
+        np.testing.assert_array_equal(np.asarray(got["target_occ1"][b]),
+                                      ex["target_occ1"])
+
+    # a batch not divisible by the mesh errors loudly
+    with pytest.raises(ValueError, match="divisible"):
+        rd.gather(np.array([0, 1, 2], np.int32))
+
+
+def test_main_resident_sharded_end_to_end(tmp_path):
+    """Full CLI run with --dataset_resident on an 8-device mesh: the
+    training set is sample-sharded, gathers ride psum_scatter, the train
+    step consumes the already-sharded batch; validation takes the host
+    loader path (tail batch not mesh-divisible)."""
+    import main as main_module
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    # 10 samples: one full batch of 8 survives drop_last (mesh training
+    # drops the non-divisible tail)
+    occ_root = str(tmp_path / "chairs16")
+    os.makedirs(occ_root)
+    _make_chairs_occ(occ_root, n=16)
+    argv = [
+        "--batch_size=8", "--batch_size_val=8",
+        "--model=FlowNet1S",
+        "--training_loss=MultiScaleEPE_FlowNet",
+        "--validation_loss=MultiScaleEPE_FlowNet",
+        "--optimizer=Adam", "--optimizer_lr=1e-4",
+        "--total_epochs=1",
+        "--training_dataset=FlyingChairsOccFull",
+        f"--training_dataset_root={occ_root}",
+        "--training_dataset_photometric_augmentations=True",
+        "--training_augmentation=RandomAffineFlowOcc",
+        "--validation_dataset=FlyingChairsOccFull",
+        f"--validation_dataset_root={occ_root}",
+        "--validation_dataset_photometric_augmentations=False",
+        "--validation_key=epe",
+        "--num_workers=1",
+        "--data_parallel_devices=8",
+        f"--save={tmp_path / 'run_sharded'}",
+        "--dataset_resident=True",
+    ]
+    best = main_module.main(argv)
+    assert np.isfinite(best)
+    with open(tmp_path / "run_sharded" / "logbook.txt") as f:
+        logbook = f.read()
+    assert "sample-sharded over 8 devices" in logbook
+    assert "2/2" in logbook  # both full train batches ran
+
+
 def test_photometric_distribution_matches_host_chain():
     """The on-device photometric chain must match the HOST PIL-exact chain
     in distribution (same factor laws, same random op order, shared pair

@@ -18,7 +18,11 @@ keeps a run alive across those events:
    see irr_tpu/runtime/loop.py);
  - stops on exit 0, when resume_epoch exceeds --total_epochs, or after
    --max_restarts. Rapid crashes with a healthy accelerator (3 in a row
-   under --min_run_secs) abort: that is a bug, not a preemption.
+   under --min_run_secs) abort: that is a bug, not a preemption;
+ - watches for STALLS: a dead device tunnel can hang the child at
+   backend init forever instead of crashing it. If nothing under the
+   save dir changes for --stall_timeout seconds, the child is killed
+   and treated like a crash.
 
 The reference has no equivalent (its runs assume a stable local GPU);
 this is TPU-fleet operational plumbing.
@@ -52,6 +56,36 @@ def _probe_device(timeout):
         return False
 
 
+def _newest_mtime(save_dir):
+    newest = 0.0
+    if os.path.isdir(save_dir):
+        for name in os.listdir(save_dir):
+            try:
+                newest = max(newest, os.path.getmtime(
+                    os.path.join(save_dir, name)))
+            except OSError:
+                pass
+    return newest
+
+
+def _run_watched(cmd, save_dir, stall_timeout):
+    """Run cmd; kill it if the save dir shows no activity for stall_timeout."""
+    proc = subprocess.Popen(cmd)
+    started = time.time()
+    while True:
+        try:
+            return proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            pass
+        last = max(_newest_mtime(save_dir), started)
+        if time.time() - last > stall_timeout:
+            print(f"[supervise] no activity under {save_dir} for "
+                  f"{stall_timeout:.0f}s: killing stalled child", flush=True)
+            proc.kill()
+            proc.wait()
+            return -9
+
+
 def _resume_epoch(save_dir):
     stats = os.path.join(save_dir, "checkpoint_latest.json")
     if not os.path.isfile(stats):
@@ -75,6 +109,10 @@ def main():
     ap.add_argument("--min_run_secs", type=float, default=300.0,
                     help="a crash before this, with a healthy device, counts "
                          "toward the rapid-crash abort (3 strikes)")
+    ap.add_argument("--stall_timeout", type=float, default=1800.0,
+                    help="kill the child if nothing under --save changes for "
+                         "this long (resident-set upload + cold compile can "
+                         "legitimately take ~15 min; default 30 min)")
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
                     help="-- python main.py --save DIR ...")
     args = ap.parse_args()
@@ -104,7 +142,7 @@ def main():
             run_cmd += ["--checkpoint", save_dir, "--start_epoch", str(resume)]
         print(f"[supervise] attempt {attempt}: {' '.join(run_cmd)}", flush=True)
         t0 = time.time()
-        rc = subprocess.call(run_cmd)
+        rc = _run_watched(run_cmd, save_dir, args.stall_timeout)
         elapsed = time.time() - t0
         if rc == 0:
             print(f"[supervise] finished cleanly after {elapsed:.0f}s", flush=True)

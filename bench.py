@@ -107,9 +107,13 @@ def run_with_loader():
         q = queue.Queue(maxsize=2)
 
         def feeder():
-            for batch in loader:
-                q.put({k: jnp.asarray(batch[k]) for k in KEYS})
-            q.put(None)
+            try:
+                for batch in loader:
+                    q.put({k: jnp.asarray(batch[k]) for k in KEYS})
+            finally:
+                # always deliver the sentinel: a decode/transfer error in
+                # this thread must not leave the main loop blocked on get()
+                q.put(None)
 
         th = threading.Thread(target=feeder, daemon=True)
         th.start()
@@ -254,9 +258,16 @@ def _device_reachable(timeout=150):
 
 
 if __name__ == "__main__":
+    if "--loader-only" in sys.argv:
+        run_loader_only()  # host-only: needs no device
+        sys.exit(0)
+    with_loader = "--with-loader" in sys.argv
     if not _device_reachable():
+        metric = ("IRR-PWC eval pairs/sec/chip end-to-end through loader"
+                  if with_loader else
+                  "IRR-PWC eval image pairs/sec/chip @ Sintel 1024x436 (bf16)")
         print(json.dumps({
-            "metric": "IRR-PWC eval image pairs/sec/chip @ Sintel 1024x436 (bf16)",
+            "metric": metric,
             "value": 0.0,
             "unit": "pairs/s",
             "vs_baseline": 0.0,
@@ -264,9 +275,7 @@ if __name__ == "__main__":
                      "timed out); last recorded number: BENCH_r02 27.35",
         }))
         sys.exit(0)
-    if "--with-loader" in sys.argv:
+    if with_loader:
         run_with_loader()
-    elif "--loader-only" in sys.argv:
-        run_loader_only()
     else:
         main()

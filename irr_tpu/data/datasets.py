@@ -474,11 +474,15 @@ class KittiComb(Dataset):
                 im1, im2, flo, valid = kitti_random_crop(im1, im2, flo, valid,
                                                          rng=rng)
             elif self.pad_multiple:
+                # pre-pad size: save_outputs crops artifacts back to it
+                # (KITTI submission PNGs must be native-resolution)
+                out["input_size"] = (im1.shape[0], im1.shape[1])
                 im1, im2, flo, valid = pad_to_multiple(
                     [im1, im2, flo, valid], self.pad_multiple)
             # target2 == target1 (kitti_combined.py:365: no backward GT)
             out.update({"target1": flo, "target2": flo, "input_valid": valid})
         elif not self.preprocessing_crop and self.pad_multiple:
+            out["input_size"] = (im1.shape[0], im1.shape[1])
             im1, im2 = pad_to_multiple([im1, im2], self.pad_multiple)
         im1, im2 = self._photo(im1, im2, rng=rng)
         out.update({"input1": im1, "input2": im2})

@@ -216,6 +216,8 @@ class ResidentBatchFn:
         if self._photometric:
             from ..augment.photometric import photometric_pair_batch
             self._photo_body = photometric_pair_batch
+            # jit ONCE: wrapping per call would retrace every batch
+            self._photo_jit = jax.jit(photometric_pair_batch)
         # fuse gather (+ photometric) (+ affine body) into ONE jitted
         # program: each separate dispatch costs a host->device round-trip
         # on high-latency links, and fusing drops the intermediate
@@ -252,8 +254,7 @@ class ResidentBatchFn:
         g = self._resident.gather(batch["index"])
         if self._photometric:
             key, sub = jax.random.split(key)
-            im1, im2 = jax.jit(self._photo_body)(
-                g["input1"], g["input2"], sub)
+            im1, im2 = self._photo_jit(g["input1"], g["input2"], sub)
             g = dict(g, input1=im1, input2=im2)
         if self._inner is not None:
             return self._inner(g, key)

@@ -54,7 +54,7 @@ class IRR_PWC(Module):
         # --model_grouped_towers=True: run each level's flow+occ estimator
         # and context-net pairs as feature_group_count=2 grouped convs
         # (nn/pwc.py grouped_flow_occ_stage) — EXACT same math (pinned in
-        # tests/test_merged_stage.py), half the conv dispatches.
+        # tests/test_grouped_stage.py), half the conv dispatches.
         self.grouped_towers = bool(grouped_towers)
 
         self.extractor = FeatureExtractor(NUM_CHS)

@@ -125,13 +125,14 @@ class CheckpointSaver:
                      counts["restored"], filename, counts["skipped"])
         return new_params
 
-    def restore_latest(self, directory, params, **kw):
-        return self.restore(os.path.join(
-            directory, self._prefix + self._latest_postfix + self._extension), params, **kw)
-
-    def restore_best(self, directory, params, **kw):
-        return self.restore(os.path.join(
-            directory, self._prefix + self._best_postfix + self._extension), params, **kw)
+    def resolve(self, path, mode="resume_from_latest"):
+        """A --checkpoint value to a concrete file: directories resolve to
+        this saver's latest/best filename (configuration.py:333-348)."""
+        if os.path.isdir(path):
+            postfix = (self._latest_postfix if mode == "resume_from_latest"
+                       else self._best_postfix)
+            return os.path.join(path, self._prefix + postfix + self._extension)
+        return path
 
     def restore_opt_state(self, filename, opt_state):
         """Exact-resume path: restore optimizer state leaves saved under 'opt/'."""

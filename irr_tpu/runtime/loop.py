@@ -233,7 +233,15 @@ class EvaluationEpoch:
 
         basenames = example_dict["basename"]
         basedirs = example_dict.get("basedir", [""] * b_size)
+        # pre-pad native sizes (bucket-and-pad eval, datasets.py
+        # pad_to_multiple): artifacts are cropped back, e.g. KITTI
+        # submission PNGs must be native-resolution
+        sizes = example_dict.get("input_size")
         for ii in range(b_size):
+            if sizes is not None:
+                hh, ww = int(sizes[ii][0]), int(sizes[ii][1])
+            else:
+                hh, ww = flow_f[ii].shape[:2]
             img_base = os.path.join(save_root_img, str(basedirs[ii]), str(basenames[ii]))
             flo_base = os.path.join(save_root_flo, str(basedirs[ii]), str(basenames[ii]))
             os.makedirs(os.path.dirname(img_base), exist_ok=True)
@@ -241,20 +249,20 @@ class EvaluationEpoch:
 
             if getattr(args, "save_result_img", False):
                 if getattr(args, "save_result_occ", False):
-                    o = np.repeat(occ[ii].astype(np.uint8), 3, axis=-1)
+                    o = np.repeat(occ[ii, :hh, :ww].astype(np.uint8), 3, axis=-1)
                     Image.fromarray(o).save(img_base + "_occ.png")
                     if bidir:
-                        ob = np.repeat(occ_b[ii].astype(np.uint8), 3, axis=-1)
+                        ob = np.repeat(occ_b[ii, :hh, :ww].astype(np.uint8), 3, axis=-1)
                         Image.fromarray(ob).save(img_base + "_occ_b.png")
-                Image.fromarray(flow_to_rgb_middlebury(flow_f[ii])).save(
+                Image.fromarray(flow_to_rgb_middlebury(flow_f[ii, :hh, :ww])).save(
                     img_base + "_flow.png")
                 if bidir:
-                    Image.fromarray(flow_to_rgb_middlebury(flow_b[ii])).save(
+                    Image.fromarray(flow_to_rgb_middlebury(flow_b[ii, :hh, :ww])).save(
                         img_base + "_flow_b.png")
             if getattr(args, "save_result_flo", False):
-                write_flow(flo_base + ".flo", flow_f[ii])
+                write_flow(flo_base + ".flo", flow_f[ii, :hh, :ww])
             if getattr(args, "save_result_png", False):
-                write_flow_png(flo_base + ".png", flow_f[ii])
+                write_flow_png(flo_base + ".png", flow_f[ii, :hh, :ww])
 
     def run(self, params, aug_state=None):
         moving_averages = None
@@ -343,6 +351,15 @@ def exec_runtime(args, checkpoint_saver, state, step_fn, eval_fn,
     store_as_best = False
     avg_loss_dict = {}
 
+    # one augmentation key chain for the WHOLE run, seeded by --seed:
+    # restarting it every epoch would replay the identical jitter/affine
+    # parameter sequence each epoch (the host path gets fresh per-epoch
+    # draws via dataset.set_epoch; this is the device-side equivalent)
+    train_aug_state = None
+    if training_augmentation is not None:
+        import jax
+        train_aug_state = jax.random.PRNGKey(getattr(args, "seed", 0) or 0)
+
     # total progress over epochs; every update is streamed into the logbook
     # (reference runtime.py:505-514: logging_on_update=True on this bar)
     total_progress = _progressbar(
@@ -369,10 +386,11 @@ def exec_runtime(args, checkpoint_saver, state, step_fn, eval_fn,
                                         "phase": "mid_epoch",
                                         "batches_done": batch_idx},
                             opt_state=s.opt_state)
-                state, avg_loss_dict, _ = TrainingEpoch(
+                state, avg_loss_dict, train_aug_state = TrainingEpoch(
                     args, step_fn, train_loader,
                     augmentation=training_augmentation, desc="   Train",
-                    periodic_save=periodic_save).run(state)
+                    periodic_save=periodic_save).run(
+                        state, aug_state=train_aug_state)
                 if checkpoint_saver is not None and state is not None \
                         and validation_loader is not None:
                     # bank the epoch's training before validation starts:

@@ -76,11 +76,14 @@ def main(argv=None):
     state = step_fn = None
     if not args.evaluation and training_loss is not None:
         opt_state = optimizer.init(params)
-        ckpt_file = config.resolve_checkpoint_file(args)
-        if ckpt_file is not None and checkpoint_saver is not None:
-            # exact resume: Adam moments / step counts saved under 'opt/'
-            # (missing in param-only or converted checkpoints -> kept at init)
-            opt_state = checkpoint_saver.restore_opt_state(ckpt_file, opt_state)
+        if getattr(args, "checkpoint_resume_optimizer", False) \
+                and checkpoint_saver is not None:
+            # exact resume (opt-in): Adam moments / step counts saved under
+            # 'opt/'. Off by default — curriculum warm starts restore params
+            # only and restart the optimizer, like the reference.
+            ckpt_file = config.resolve_checkpoint_file(args, checkpoint_saver)
+            if ckpt_file is not None:
+                opt_state = checkpoint_saver.restore_opt_state(ckpt_file, opt_state)
         state = TrainState(params, opt_state)
         if mesh is not None:
             from irr_tpu.parallel.mesh import replicate

@@ -139,7 +139,8 @@ def main():
                 print(f"[supervise] resume_epoch {resume} > total_epochs "
                       f"{total_epochs}: run is complete", flush=True)
                 return 0
-            run_cmd += ["--checkpoint", save_dir, "--start_epoch", str(resume)]
+            run_cmd += ["--checkpoint", save_dir, "--start_epoch", str(resume),
+                        "--checkpoint_resume_optimizer", "True"]
         print(f"[supervise] attempt {attempt}: {' '.join(run_cmd)}", flush=True)
         t0 = time.time()
         rc = _run_watched(run_cmd, save_dir, args.stall_timeout)

@@ -134,9 +134,12 @@ def test_periodic_save_and_exact_resume(chairs_root, tmp_path):
     assert any(k.startswith("opt/") for k in ckpt.files)
 
     # resume exactly where the sidecar says; opt-state leaves come back
+    # only with the opt-in flag (the supervisor sets it) — a plain
+    # --checkpoint warm start keeps reference params-only semantics
     best2 = main_module.main(
         base + ["--total_epochs=2", f"--checkpoint={save}",
-                f"--start_epoch={stats['resume_epoch']}"])
+                f"--start_epoch={stats['resume_epoch']}",
+                "--checkpoint_resume_optimizer=True"])
     assert np.isfinite(best2)
     with open(os.path.join(save, "logbook.txt")) as f:
         logbook = f.read()
@@ -144,6 +147,18 @@ def test_periodic_save_and_exact_resume(chairs_root, tmp_path):
     with open(os.path.join(save, "checkpoint_latest.json")) as f:
         stats2 = json.load(f)
     assert stats2["epoch"] == 2 and stats2["resume_epoch"] == 3
+
+    # warm start WITHOUT the flag: params restored, optimizer fresh
+    save3 = str(tmp_path / "run_warm")
+    warm = [a if not a.startswith("--save=") else f"--save={save3}"
+            for a in base]
+    best3 = main_module.main(
+        warm + ["--total_epochs=1", f"--checkpoint={save}"])
+    assert np.isfinite(best3)
+    with open(os.path.join(save3, "logbook.txt")) as f:
+        logbook3 = f.read()
+    assert "Restored" in logbook3  # params came from the checkpoint
+    assert "optimizer-state leaves" not in logbook3
 
 
 def test_supervisor_resume_epoch(tmp_path):

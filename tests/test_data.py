@@ -281,6 +281,9 @@ def test_kitti_eval_pad_to_bucket(tmp_path):
         assert ex["input1"].shape[:2] == (128, 192)
         assert ex["target1"].shape[:2] == (128, 192)
         assert ex["input_valid"].shape[:2] == (128, 192)
+    # pre-pad native size rides along for artifact crop-back
+    assert exs[0]["input_size"] == (70, 150)
+    assert exs[1]["input_size"] == (66, 140)
     # padding region is invalid
     assert exs[0]["input_valid"][70:].sum() == 0
     assert exs[0]["input_valid"][:, 150:].sum() == 0

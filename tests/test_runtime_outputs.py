@@ -38,6 +38,18 @@ def test_save_outputs_writes_all_artifacts(tmp_path):
     got_png, _ = read_png16_flow(flo_base + ".png")
     np.testing.assert_allclose(got_png, output["flow"][0], atol=1 / 64)
 
+    # bucket-and-pad eval: with input_size metadata the artifacts are
+    # cropped back to native resolution (KITTI submission contract)
+    example2 = {"basename": ["k_0001", "k_0002"],
+                "input_size": [(13, 21), (14, 19)]}
+    epoch.save_outputs(example2, output)
+    flo2 = os.path.join(str(tmp_path), "flo", "k_0001")
+    got2 = read_flo(flo2 + ".flo")
+    assert got2.shape == (13, 21, 2)
+    np.testing.assert_array_equal(got2, output["flow"][0][:13, :21])
+    got2_png, _ = read_png16_flow(flo2 + ".png")
+    assert got2_png.shape == (13, 21, 2)
+
 
 def test_profile_trace_consumed_on_short_epoch(tmp_path, monkeypatch):
     """--profile_trace_dir captures exactly once even when the first epoch
@@ -65,3 +77,36 @@ def test_profile_trace_consumed_on_short_epoch(tmp_path, monkeypatch):
     epoch2 = TrainingEpoch(args, step_fn, [batch, batch])
     epoch2.run(state=None)
     assert len(calls) == 2  # no re-capture
+
+
+def test_aug_key_threads_across_epochs(tmp_path):
+    """The augmentation key chain advances across epochs (seeded by
+    --seed): restarting it every epoch would replay the identical
+    jitter/affine parameter sequence each epoch."""
+    import jax
+    from irr_tpu.runtime.loop import exec_runtime
+
+    keys_seen = []
+
+    def aug(batch, key):
+        keys_seen.append(np.asarray(jax.random.key_data(key)).copy())
+        key, _ = jax.random.split(key)
+        return batch, key
+
+    def step_fn(state, batch):
+        return state, {"total_loss": np.float32(1.0)}
+
+    batch = {"input1": np.zeros((2, 8, 8, 3), np.float32)}
+    args = types.SimpleNamespace(
+        profile=False, profile_trace_dir=None, save=str(tmp_path),
+        start_epoch=1, total_epochs=2, validation_key="total_loss",
+        validation_key_minimize=True, training_key="total_loss", seed=7)
+    exec_runtime(args, checkpoint_saver=None, state=None, step_fn=step_fn,
+                 eval_fn=None, train_loader=[batch, batch],
+                 validation_loader=None, training_augmentation=aug)
+    assert len(keys_seen) == 4  # 2 epochs x 2 batches
+    # epoch 2 continues the chain, not a restart of epoch 1's keys
+    assert not np.array_equal(keys_seen[0], keys_seen[2])
+    # ... and the chain starts from --seed, not PRNGKey(0)
+    np.testing.assert_array_equal(
+        keys_seen[0], np.asarray(jax.random.key_data(jax.random.PRNGKey(7))))

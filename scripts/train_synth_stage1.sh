@@ -38,6 +38,7 @@ fi
 
 exec python scripts/supervise_train.py -- python main.py \
   --batch_size=4 --batch_size_val=4 \
+  --compute_dtype=bfloat16 \
   --model=IRR_PWC --model_div_flow=0.05 \
   --optimizer=Adam --optimizer_lr=1e-4 --optimizer_weight_decay=4e-4 \
   --lr_scheduler=MultiStepLR "--lr_scheduler_milestones=[15, 21, 26]" \

@@ -205,3 +205,51 @@ def test_training_augmentation_flag(chairs_root, tmp_path):
     ]
     best = main_module.main(argv)
     assert np.isfinite(best)
+
+
+def test_bf16_train_and_eval(chairs_root, tmp_path):
+    """--compute_dtype=bfloat16 (the production mode the accuracy run and
+    bench use): a CLI train+validate epoch stays finite, and bf16 eval
+    output is close to the f32 path at random init."""
+    import jax
+    import main as main_module
+    from irr_tpu.nn.core import set_compute_dtype
+    import jax.numpy as jnp
+
+    argv = [
+        "--batch_size=2", "--batch_size_val=2",
+        "--model=FlowNet1S",
+        "--training_loss=MultiScaleEPE_FlowNet",
+        "--validation_loss=MultiScaleEPE_FlowNet",
+        "--optimizer=Adam", "--optimizer_lr=1e-4",
+        "--total_epochs=1",
+        "--training_dataset=FlyingChairsFull",
+        f"--training_dataset_root={chairs_root}",
+        "--validation_dataset=FlyingChairsFull",
+        f"--validation_dataset_root={chairs_root}",
+        "--validation_key=epe",
+        "--num_workers=1", "--data_parallel_devices=1",
+        f"--save={tmp_path / 'run_bf16'}",
+        "--compute_dtype=bfloat16",
+    ]
+    try:
+        best = main_module.main(argv)
+        assert np.isfinite(best)
+
+        # output closeness vs f32 at random init (loose: bf16 feature convs)
+        from irr_tpu import models
+        rng = np.random.RandomState(0)
+        batch = {"input1": rng.rand(1, 64, 96, 3).astype(np.float32),
+                 "input2": rng.rand(1, 64, 96, 3).astype(np.float32)}
+        model = models.FlowNet1S()
+        params = jax.jit(model.init)(jax.random.PRNGKey(0))
+        set_compute_dtype(jnp.bfloat16)
+        out_bf = np.asarray(jax.jit(
+            lambda p, b: model.apply(p, b, training=False)["flow1"])(params, batch))
+        set_compute_dtype(jnp.float32)
+        out_f32 = np.asarray(jax.jit(
+            lambda p, b: model.apply(p, b, training=False)["flow1"])(params, batch))
+        scale = max(np.abs(out_f32).max(), 1e-6)
+        assert np.abs(out_bf - out_f32).max() / scale < 0.05
+    finally:
+        set_compute_dtype(jnp.float32)  # don't leak policy into other tests

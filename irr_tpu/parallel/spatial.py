@@ -15,10 +15,30 @@ from .mesh import make_mesh
 from ..nn.core import normalize_image_batch
 
 
+def make_mesh2d(n_data, n_width, devices=None) -> Mesh:
+    """2-D (data, width) mesh: batch parallelism x spatial sharding.
+
+    The pod-scale eval layout: a (D, S) mesh runs D batch shards, each
+    width-sharded over S chips. On real hardware lay the width axis on
+    the faster ICI dimension (halo exchanges are latency-bound; the batch
+    axis has no per-layer communication at eval)."""
+    import numpy as np
+    if devices is None:
+        devices = jax.devices()
+    n = n_data * n_width
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n]).reshape(n_data, n_width),
+                ("data", "width"))
+
+
 def spatial_sharding(mesh: Mesh) -> NamedSharding:
-    """NHWC width-sharded: (B, H, W/devices, C) per device."""
-    axis = mesh.axis_names[0]
-    return NamedSharding(mesh, P(None, None, axis, None))
+    """NHWC width-sharded: (B, H, W/devices, C) per device. On a 2-D
+    (data, width) mesh the batch axis shards too."""
+    if len(mesh.axis_names) == 2:
+        return NamedSharding(mesh, P(mesh.axis_names[0], None,
+                                     mesh.axis_names[1], None))
+    return NamedSharding(mesh, P(None, None, mesh.axis_names[0], None))
 
 
 def make_spatial_eval(model, mesh: Mesh = None):

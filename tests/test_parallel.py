@@ -101,3 +101,22 @@ def test_spatial_sharded_inference_matches_unsharded():
     out = fn(place_params(params), shard_inputs(inp))
     np.testing.assert_allclose(np.asarray(out["flow"]), np.asarray(ref["flow"]),
                                atol=5e-5)
+
+
+def test_spatial_2d_mesh_matches_unsharded():
+    """2-D (data, width) mesh: batch shards x width shards (the pod-scale
+    eval layout) must equal the single-device forward."""
+    from irr_tpu.parallel.spatial import make_mesh2d, make_spatial_eval
+
+    model = models.PWCNet_irr()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    inp = {"input1": jnp.asarray(rng.rand(2, 64, 256, 3).astype(np.float32)),
+           "input2": jnp.asarray(rng.rand(2, 64, 256, 3).astype(np.float32))}
+    ref = jax.jit(lambda p, i: model.apply(p, i, training=False))(params, inp)
+
+    mesh = make_mesh2d(2, 4)
+    fn, shard_inputs, place_params = make_spatial_eval(model, mesh)
+    out = fn(place_params(params), shard_inputs(inp))
+    np.testing.assert_allclose(np.asarray(out["flow"]), np.asarray(ref["flow"]),
+                               atol=5e-5)

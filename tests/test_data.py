@@ -321,3 +321,35 @@ def test_kitti_eval_pad_to_bucket(tmp_path):
     ds_tr = KittiComb2015Train(root=root)
     ex = ds_tr[0]
     assert ex["input1"].shape == ex["target1"].shape[:2] + (3,)
+
+
+def test_kitti_eval_cli_writes_native_size_artifacts(tmp_path):
+    """End-to-end: --evaluation over padded KITTI batches writes .flo/.png
+    artifacts cropped back to each sample's NATIVE size (submission
+    contract; the model sees the (128, 192) pad bucket)."""
+    import main as main_module
+    from irr_tpu.data.common import read_flo
+
+    root = str(tmp_path / "kitti")
+    os.makedirs(root)
+    _make_kitti2015(root, [(66, 140)] * 10 + [(70, 150), (66, 140)])
+    save = str(tmp_path / "evalrun")
+    argv = [
+        "--evaluation=True", "--batch_size_val=2",
+        "--model=PWCNet_irr",
+        "--validation_loss=MultiScaleEPE_PWC",
+        "--validation_dataset=KittiComb2015Val",
+        f"--validation_dataset_root={root}",
+        "--validation_key=epe",
+        "--num_workers=1", "--data_parallel_devices=1",
+        f"--save={save}",
+        "--save_result_flo=True", "--save_result_png=True",
+    ]
+    avg = main_module.main(argv)
+    assert np.isfinite(avg["epe"])
+    flo_dir = os.path.join(save, "flo")
+    names = sorted(os.listdir(flo_dir))
+    assert len(names) >= 2
+    flo0 = read_flo(os.path.join(flo_dir, [n for n in names
+                                           if n.endswith(".flo")][0]))
+    assert flo0.shape == (70, 150, 2)  # native, not the (128, 192) bucket

@@ -146,8 +146,17 @@ def main():
         rc = _run_watched(run_cmd, save_dir, args.stall_timeout)
         elapsed = time.time() - t0
         if rc == 0:
-            print(f"[supervise] finished cleanly after {elapsed:.0f}s", flush=True)
-            return 0
+            # trust exit 0 only if the checkpoints agree the run reached the
+            # end: main.py also exits 0 when a dataset fails to load
+            done = _resume_epoch(save_dir)
+            if done is not None and done > total_epochs:
+                print(f"[supervise] finished cleanly after {elapsed:.0f}s",
+                      flush=True)
+                return 0
+            print(f"[supervise] exit 0 but the checkpoint sidecar says "
+                  f"resume_epoch={done} (need > {total_epochs}): treating "
+                  f"as a failure", flush=True)
+            rc = 1
         print(f"[supervise] exited rc={rc} after {elapsed:.0f}s", flush=True)
         device_ok = _probe_device(args.probe_timeout)
         if device_ok and elapsed < args.min_run_secs:

@@ -247,3 +247,18 @@ def test_photometric_distribution_matches_host_chain():
     # the sampling error of n=192 draws (std/sqrt(n) ~ 0.02)
     assert abs(dev.mean() - host.mean()) < 0.04, (dev.mean(), host.mean())
     assert abs(dev.std() - host.std()) < 0.04, (dev.std(), host.std())
+
+
+def test_resident_index_loader_drop_last():
+    """Mesh training uses drop_last index batches (the tail would not be
+    mesh-divisible); the default keeps the tail."""
+    from irr_tpu.data.resident import ResidentIndexLoader
+
+    keep = ResidentIndexLoader(10, batch_size=4, shuffle=False)
+    assert len(keep) == 3
+    assert [len(b["index"]) for b in keep] == [4, 4, 2]
+    drop = ResidentIndexLoader(10, batch_size=4, shuffle=False, drop_last=True)
+    assert len(drop) == 2
+    assert [len(b["index"]) for b in drop] == [4, 4]
+    # every retained index stays in [0, n): HBM pad rows are never fetched
+    assert all((b["index"] < 10).all() for b in drop)

@@ -253,3 +253,25 @@ def test_bf16_train_and_eval(chairs_root, tmp_path):
         assert np.abs(out_bf - out_f32).max() / scale < 0.05
     finally:
         set_compute_dtype(jnp.float32)  # don't leak policy into other tests
+
+
+def test_checkpoint_resolve(tmp_path):
+    """CheckpointSaver.resolve: directories go through the mode, files pass
+    through; config.resolve_checkpoint_file delegates to the saver (the
+    names live in ONE place)."""
+    import types
+    from irr_tpu.runtime.checkpoint import CheckpointSaver
+    from irr_tpu.config import resolve_checkpoint_file
+
+    saver = CheckpointSaver()
+    d = str(tmp_path)
+    assert saver.resolve(d) == os.path.join(d, "checkpoint_latest.ckpt")
+    assert saver.resolve(d, "resume_from_best") == os.path.join(
+        d, "checkpoint_best.ckpt")
+    f = str(tmp_path / "x.ckpt")
+    assert saver.resolve(f) == f
+
+    args = types.SimpleNamespace(checkpoint=None)
+    assert resolve_checkpoint_file(args) is None
+    args = types.SimpleNamespace(checkpoint=d, checkpoint_mode="resume_from_best")
+    assert resolve_checkpoint_file(args, saver).endswith("checkpoint_best.ckpt")

@@ -122,9 +122,9 @@ def main():
         cmd = cmd[1:]
     if not cmd:
         ap.error("no command given (use: supervise_train.py -- python main.py ...)")
-    if _arg_value(cmd, "--checkpoint") or _arg_value(cmd, "--start_epoch"):
-        ap.error("give the base command WITHOUT --checkpoint/--start_epoch; "
-                 "the supervisor appends them on resume")
+    # Base --checkpoint/--start_epoch (curriculum warm starts) are fine:
+    # resume flags are APPENDED, and argparse keeps the last occurrence,
+    # so an in-stage resume overrides the warm start.
     save_dir = _arg_value(cmd, "--save") or _arg_value(cmd, "-s")
     if not save_dir:
         ap.error("command must include --save DIR (resume state lives there)")
@@ -139,7 +139,9 @@ def main():
                 print(f"[supervise] resume_epoch {resume} > total_epochs "
                       f"{total_epochs}: run is complete", flush=True)
                 return 0
-            run_cmd += ["--checkpoint", save_dir, "--start_epoch", str(resume),
+            run_cmd += ["--checkpoint", save_dir,
+                        "--checkpoint_mode", "resume_from_latest",
+                        "--start_epoch", str(resume),
                         "--checkpoint_resume_optimizer", "True"]
         print(f"[supervise] attempt {attempt}: {' '.join(run_cmd)}", flush=True)
         t0 = time.time()

@@ -48,6 +48,9 @@ class StageTimers:
             drain = device->host loss fetch = time actually blocked on the
                     accelerator. data-bound epochs show large `data`;
                     device-bound epochs show large `drain`.
+            ckpt  = mid-epoch checkpoint writes (--save_every_batches),
+            trace = jax.profiler capture overhead (--profile_trace_dir),
+            save  = eval artifact writes (EvaluationEpoch only).
     """
 
     def __init__(self, enabled):

@@ -223,10 +223,12 @@ def generate_chairs_occ(root, n, h=H_DEF, w=W_DEF, seed=0, start=0):
         rng = np.random.RandomState(seed * 1000003 + i)
         s = make_scene(rng, h, w)
         stem = os.path.join(root, "%05d" % (i + 1))
-        Image.fromarray(s["img1"]).save(stem + "_img1.png")
-        Image.fromarray(s["img2"]).save(stem + "_img2.png")
-        Image.fromarray(s["occ1"]).save(stem + "_occ1.png")
-        Image.fromarray(s["occ2"]).save(stem + "_occ2.png")
+        # compress_level=1: identical pixels, ~3x faster encode; the scene
+        # math (not the PNG writer) should own generation wall-time.
+        Image.fromarray(s["img1"]).save(stem + "_img1.png", compress_level=1)
+        Image.fromarray(s["img2"]).save(stem + "_img2.png", compress_level=1)
+        Image.fromarray(s["occ1"]).save(stem + "_occ1.png", compress_level=1)
+        Image.fromarray(s["occ2"]).save(stem + "_occ2.png", compress_level=1)
         write_flo(stem + "_flow.flo", s["flow_f"])
         write_flo(stem + "_flow_b.flo", s["flow_b"])
 

@@ -51,8 +51,9 @@ def normalize_image_batch(batch):
     quartering host->device bytes; uint8->f32 conversion is exact and the
     on-device f32 divide is bit-identical to the host path on the CPU
     backend (pinned by test_data.py::test_photometric_disabled_is_tototensor);
-    on TPU, XLA may lower /255 as a reciprocal multiply, <=1 ulp off for
-    some of the 256 values (same story as _exact_div_f32, ops/warp.py).
+    on TPU, XLA lowers /255 as a reciprocal multiply — measured on a real
+    v5e (2026-08-18, all 256 uint8 values): 126/256 land exactly 1 ulp off
+    the host result, never more (same story as _exact_div_f32, ops/warp.py).
     """
     out = dict(batch)
     for k in ("input1", "input2", "target_occ1", "target_occ2"):

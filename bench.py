@@ -209,7 +209,11 @@ def main():
     from irr_tpu.nn.core import set_compute_dtype
 
     set_compute_dtype(jnp.bfloat16)
-    model = models.IRR_PWC()
+    # --approx-guidance: time the opt-in quarter-density guidance-warp
+    # mode (--model_approx_guidance); its EPE cost is measured separately
+    # against trained checkpoints (scripts/eval_synth_ckpt.sh, RESULTS.md)
+    approx = "--approx-guidance" in sys.argv
+    model = models.IRR_PWC(approx_guidance=approx)
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)
@@ -236,14 +240,15 @@ def main():
 
     pairs_per_sec = BATCH * ITERS / dt
     print(json.dumps({
-        "metric": "IRR-PWC eval image pairs/sec/chip @ Sintel 1024x436 (bf16)",
+        "metric": "IRR-PWC eval image pairs/sec/chip @ Sintel 1024x436 (bf16)"
+                  + (" [approx_guidance]" if approx else ""),
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_A100_PAIRS_PER_SEC, 3),
     }))
 
 
-def _device_reachable(timeout=150):
+def _device_reachable(timeout=240):
     """Fast-fail probe: a dead TPU tunnel HANGS at backend init (it does
     not error), which would wedge the whole bench run. Probe in a
     subprocess with a timeout before touching jax in this process."""

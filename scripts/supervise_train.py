@@ -105,7 +105,10 @@ def main():
     ap.add_argument("--max_restarts", type=int, default=50)
     ap.add_argument("--probe_interval", type=float, default=180.0,
                     help="seconds between accelerator probes while down")
-    ap.add_argument("--probe_timeout", type=float, default=120.0)
+    ap.add_argument("--probe_timeout", type=float, default=240.0,
+                    help="device-probe timeout; a degraded-but-alive tunnel "
+                         "measures up to ~160s backend init (r3), and a "
+                         "too-tight probe reads it as down forever")
     ap.add_argument("--min_run_secs", type=float, default=300.0,
                     help="a crash before this, with a healthy device, counts "
                          "toward the rapid-crash abort (3 strikes)")

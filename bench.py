@@ -213,7 +213,11 @@ def main():
     # mode (--model_approx_guidance); its EPE cost is measured separately
     # against trained checkpoints (scripts/eval_synth_ckpt.sh, RESULTS.md)
     approx = "--approx-guidance" in sys.argv
-    model = models.IRR_PWC(approx_guidance=approx)
+    # --grouped-towers: time the grouped-conv flow+occ towers
+    # (--model_grouped_towers); output must match exact to ~1e-3
+    # (scripts/eval_synth_ckpt.sh checks this on trained weights)
+    grouped = "--grouped-towers" in sys.argv
+    model = models.IRR_PWC(approx_guidance=approx, grouped_towers=grouped)
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)
@@ -241,7 +245,8 @@ def main():
     pairs_per_sec = BATCH * ITERS / dt
     print(json.dumps({
         "metric": "IRR-PWC eval image pairs/sec/chip @ Sintel 1024x436 (bf16)"
-                  + (" [approx_guidance]" if approx else ""),
+                  + (" [approx_guidance]" if approx else "")
+                  + (" [grouped_towers]" if grouped else ""),
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_A100_PAIRS_PER_SEC, 3),

@@ -12,7 +12,10 @@ only one that was ever measured; the other recipes change shape AND loss:
 Times one full jitted step (grad + Adam) per stage with the host-read
 sync discipline (see perf/README.md).
 
-Usage: python perf/stage_shapes.py
+Usage: python perf/stage_shapes.py [substr ...]
+  Optional argv substrings filter which stages run (e.g. "KITTI") —
+  compiles cost ~5 min each through a degraded tunnel, so stages are
+  often measured one at a time.
 """
 
 import os
@@ -51,6 +54,11 @@ def main():
         ("stage3 KITTI      B4 320x896",
          320, 896, losses.MultiScaleEPE_PWC_Bi_Occ_upsample_KITTI, True),
     ]
+
+    filters = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if filters:
+        stages = [s for s in stages
+                  if any(f.lower() in s[0].lower() for f in filters)]
 
     B = 4
     for name, H, W, loss_cls, sparse in stages:

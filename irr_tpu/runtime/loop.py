@@ -269,9 +269,10 @@ class EvaluationEpoch:
 
     def run(self, params, aug_state=None):
         moving_averages = None
+        nan_batches = collections.Counter()   # metric -> non-finite batches
         progress = _progressbar(self._loader, self._desc, total=len(self._loader))
         stream_every = max(1, len(self._loader) // 10)
-        pending = None  # (loss_dict device arrays, batch_size): delayed fetch
+        pending = None  # (loss_dict device arrays, batch_size, batch index)
 
         def drain(p):
             # fetch the PREVIOUS batch's losses while the current batch is
@@ -279,12 +280,24 @@ class EvaluationEpoch:
             # (the reference reads every batch synchronously,
             # runtime.py:436-448; a per-batch device sync caps throughput)
             nonlocal moving_averages
-            ld, bs = p
+            ld, bs, bi = p
             loss_vals = _fetch_floats(ld)
             if moving_averages is None:
                 moving_averages = {k: MovingAverage() for k in loss_vals}
+            # eval counterpart of the training NaN fail-fast: a non-finite
+            # metric batch is warned about and EXCLUDED from the epoch
+            # average (aborting eval would lose the epoch; silently
+            # averaging NaN corrupts best-checkpoint selection and the
+            # stats sidecars — which is what happened on the r3 synth run)
+            bad = sorted(k for k, v in loss_vals.items() if not np.isfinite(v))
+            if bad:
+                nan_batches.update(bad)
+                logging.warning(
+                    "Evaluation batch %d: non-finite metric(s) %s — "
+                    "excluded from the epoch average", bi, ", ".join(bad))
             for k, v in loss_vals.items():
-                moving_averages[k].add_average(v, addcount=bs)
+                if np.isfinite(v):
+                    moving_averages[k].add_average(v, addcount=bs)
             return collections.OrderedDict(
                 (k + "_avg", "%1.4f" % moving_averages[k].mean())
                 for k in sorted(moving_averages))
@@ -319,14 +332,24 @@ class EvaluationEpoch:
             if pending is not None:
                 with timers.span("drain"):
                     progress.set_postfix(drain(pending))
-            pending = (loss_dict, batch_size)
+            pending = (loss_dict, batch_size, i)
         if pending is not None:
             with timers.span("drain"):
                 progress.set_postfix(drain(pending))
         progress.close()
         _logbook_write(str(progress))
         timers.log(self._desc, n)
-        return {k: m.mean() for k, m in (moving_averages or {}).items()}
+        stats = {k: m.mean() for k, m in (moving_averages or {}).items()}
+        for k, c in sorted(nan_batches.items()):
+            logging.warning("Evaluation: metric %s was non-finite on %d/%d "
+                            "batches", k, c, n)
+            if moving_averages[k]._count == 0:
+                # EVERY batch was non-finite: report NaN loudly rather than
+                # the meter's empty-default 0.0 (a 0.0 epe would win
+                # best-checkpoint selection)
+                stats[k] = float("nan")
+            stats[k + "_nan_batches"] = c
+        return stats
 
 
 def exec_runtime(args, checkpoint_saver, state, step_fn, eval_fn,
@@ -411,7 +434,13 @@ def exec_runtime(args, checkpoint_saver, state, step_fn, eval_fn,
                     args, eval_fn, validation_loader,
                     augmentation=validation_augmentation, desc="Validate").run(params)
                 validation_loss = avg_loss_dict[args.validation_key]
-                if args.validation_key_minimize:
+                if not np.isfinite(validation_loss):
+                    logging.warning(
+                        "validation %s is non-finite (%s) — epoch not "
+                        "eligible for best-checkpoint selection",
+                        args.validation_key, validation_loss)
+                    store_as_best = False
+                elif args.validation_key_minimize:
                     store_as_best = validation_loss < best_validation_loss
                 else:
                     store_as_best = validation_loss > best_validation_loss

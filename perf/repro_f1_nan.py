@@ -49,7 +49,8 @@ def main():
     for bi, batch in enumerate(loader):
         if bi < n_batches - 2:
             continue
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if not isinstance(v, (str, list, tuple))}
         ld, out = val_step(params, batch)
         occ = np.asarray(out["occ"], dtype=np.float32)
         flow = np.asarray(out["flow"], dtype=np.float32)

@@ -110,3 +110,73 @@ def test_aug_key_threads_across_epochs(tmp_path):
     # ... and the chain starts from --seed, not PRNGKey(0)
     np.testing.assert_array_equal(
         keys_seen[0], np.asarray(jax.random.key_data(jax.random.PRNGKey(7))))
+
+
+def test_eval_nan_guard_excludes_and_marks(tmp_path, caplog):
+    """A non-finite eval metric batch is warned about, excluded from the
+    epoch average, and surfaced as <key>_nan_batches — never silently
+    averaged into the stats sidecar (the r3 synth run wrote F1=NaN into
+    checkpoint_best.json this way)."""
+    import logging as _logging
+
+    # 3 batches; F1 NaN on the last one, epe always finite
+    batches = [{"input1": np.zeros((2, 8, 8, 3), np.float32)}] * 3
+    vals = [(1.0, 0.5), (3.0, 0.7), (2.0, float("nan"))]
+    calls = iter(vals)
+
+    def eval_fn(params, batch):
+        epe, f1 = next(calls)
+        return {"epe": np.float32(epe), "F1": np.float32(f1)}, {}
+
+    args = types.SimpleNamespace(profile=False, save=str(tmp_path))
+    with caplog.at_level(_logging.WARNING):
+        stats = EvaluationEpoch(args, eval_fn, batches).run(params=None)
+    assert any("non-finite metric" in r.message for r in caplog.records)
+    # F1 average over the two finite batches only
+    np.testing.assert_allclose(stats["F1"], 0.6)
+    np.testing.assert_allclose(stats["epe"], 2.0)
+    assert stats["F1_nan_batches"] == 1
+    assert "epe_nan_batches" not in stats
+
+
+def test_eval_nan_guard_all_nan_reports_nan(tmp_path):
+    """If EVERY batch of a metric is non-finite the epoch stat is NaN, not
+    the meter's empty-default 0.0 (a 0.0 epe would win best-ckpt)."""
+    batches = [{"input1": np.zeros((1, 8, 8, 3), np.float32)}] * 2
+
+    def eval_fn(params, batch):
+        return {"epe": np.float32("nan")}, {}
+
+    args = types.SimpleNamespace(profile=False, save=str(tmp_path))
+    stats = EvaluationEpoch(args, eval_fn, batches).run(params=None)
+    assert np.isnan(stats["epe"])
+    assert stats["epe_nan_batches"] == 2
+
+
+def test_nonfinite_validation_never_best(tmp_path):
+    """exec_runtime: a NaN validation key is not eligible for
+    best-checkpoint selection (and a later finite epoch still wins)."""
+    from irr_tpu.runtime.loop import exec_runtime
+    from irr_tpu.runtime.checkpoint import CheckpointSaver
+    import json
+
+    epochs = iter([float("nan"), 4.0])
+
+    def eval_fn(params, batch):
+        return {"epe": np.float32(next(epochs))}, {}
+
+    batch = {"input1": np.zeros((1, 8, 8, 3), np.float32)}
+    args = types.SimpleNamespace(
+        profile=False, profile_trace_dir=None, save=str(tmp_path),
+        start_epoch=1, total_epochs=2, validation_key="epe",
+        validation_key_minimize=True, training_key="total_loss", seed=0)
+
+    class _State:
+        params = {"w": np.zeros((1,), np.float32)}
+        opt_state = None
+
+    exec_runtime(args, checkpoint_saver=CheckpointSaver(), state=_State(),
+                 step_fn=None, eval_fn=eval_fn, train_loader=None,
+                 validation_loader=[batch])
+    best = json.load(open(os.path.join(str(tmp_path), "checkpoint_best.json")))
+    assert best["epoch"] == 2 and best["epe"] == 4.0

@@ -187,6 +187,20 @@ class IRR_PWC(Module):
                 f_f, f_b = unstack(flow)
                 flows.append([f_f, f_b])
 
+                # Stacked-batch invariants (trace-time): flow always carries
+                # both directions ([flow_f ; flow_b], batch 2B); occ is 2B in
+                # training, and in eval is 2B on the FIRST post-output level
+                # (before the forward-only slice below) then B afterwards.
+                # Any other population means the forward/backward halves have
+                # been mis-paired upstream.
+                assert flow.shape[0] == b2, (
+                    "L%d: flow batch %d != stacked 2B=%d" % (l, flow.shape[0], b2))
+                assert occ.shape[0] == (b2 if training else
+                                        (b2 if l == OUTPUT_LEVEL + 1 else b)), (
+                    "L%d: occ batch %d violates the stacked/eval-forward-only "
+                    "population contract (B=%d, training=%s)"
+                    % (l, occ.shape[0], b, training))
+
                 if not training and occ.shape[0] == b2:
                     # eval returns only the FORWARD occlusion: the backward
                     # occ branch at levels 5-6 never reaches the output, so

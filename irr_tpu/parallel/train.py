@@ -69,12 +69,42 @@ def make_train_step(model, loss_fn, optimizer, mesh=None, donate=True):
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, loss_fn, mesh=None):
-    """Returns jitted `eval_step(params, batch) -> (loss_dict, output_dict)`."""
+def make_eval_step(model, loss_fn, mesh=None, pad_to=None):
+    """Returns jitted `eval_step(params, batch) -> (loss_dict, output_dict)`.
+
+    pad_to: canonical eval batch size. A partial tail batch (B < pad_to,
+    drop_last=False) is padded IN-GRAPH by repeating its last example, the
+    model runs at the one canonical batch shape, and outputs are sliced
+    back to B before the loss — so metrics are exact and the model never
+    compiles (or executes) an odd-batch executable. Two reasons, both
+    TPU-first: (1) static canonical shapes — the expensive model program
+    exists in exactly one batch shape, and a sharded eval batch stays
+    divisible across the mesh; (2) a measured axon/XLA:TPU miscompile: the
+    B=3 eval executable of IRR_PWC returns all-NaN occ on data that the
+    SAME program evaluates cleanly on (a) XLA:CPU, (b) eager TPU, and
+    (c) jit TPU with intermediates returned (perf/repro_f1_nan.py — the
+    r3 synth run's val-F1 NaN). Padding to B=4 sidesteps the bad
+    executable entirely.
+    """
+    import jax.numpy as jnp
 
     def step(params, batch):
         batch = normalize_image_batch(batch)
-        out = model.apply(params, batch, training=False)
+        b = batch["input1"].shape[0]
+        if pad_to is not None and b < pad_to:  # trace-time: tail executable
+            reps = pad_to - b
+
+            def pad(v):
+                if not hasattr(v, "shape") or v.ndim == 0 or v.shape[0] != b:
+                    return v
+                tail = jnp.broadcast_to(v[-1:], (reps,) + v.shape[1:])
+                return jnp.concatenate([v, tail.astype(v.dtype)], axis=0)
+
+            out = model.apply(params, {k: pad(v) for k, v in batch.items()},
+                              training=False)
+            out = jax.tree_util.tree_map(lambda t: t[:b], out)
+        else:
+            out = model.apply(params, batch, training=False)
         ld = loss_fn(out, batch, training=False)
         return pack_losses(ld), out
 

@@ -106,14 +106,47 @@ class TrainingEpoch:
         self._periodic_save = periodic_save  # callable(state, batch_index)
         self._save_every = int(getattr(args, "save_every_batches", 0) or 0)
 
+    def _dump_nan_artifact(self, pending, loss_vals):
+        """Write the offending batch + losses to <save>/nan_dump_*.npz.
+
+        The training NaN fail-fast used to only abort; on a preemptible
+        chip the supervisor then restarts from the last mid-epoch
+        checkpoint and the batch that blew up is lost (the r3 synth run
+        crashed 4x in epoch 9 with nothing to examine). The dump turns the
+        transient into an artifact: replay it against checkpoint_latest
+        with perf/nan_postmortem.py to localize where the NaN is born.
+        """
+        save_dir = getattr(self._args, "save", None)
+        if not save_dir or pending[2] is None:
+            return None
+        loss_dict, _, batch, batch_idx = pending
+        path = os.path.join(save_dir, "nan_dump_batch%04d.npz" % batch_idx)
+        try:
+            arrays = {k: np.asarray(v) for k, v in batch.items()}
+            arrays.update({"loss__" + k: np.asarray(v, np.float64)
+                           for k, v in loss_vals.items()})
+            np.savez_compressed(path, **arrays)
+            logging.warning("training_loss NaN at batch %d: post-aug batch "
+                            "dumped to %s (replay: perf/nan_postmortem.py)",
+                            batch_idx, path)
+            return path
+        except Exception as e:  # the dump must never mask the fail-fast
+            logging.warning("NaN batch dump failed: %s", e)
+            return None
+
     def run(self, state, aug_state=None):
         moving_averages = None
-        pending = None  # (loss_dict device arrays, batch_size) from previous step
+        # (loss_dict device arrays, batch_size, batch device arrays, index)
+        # from the previous step; holding the batch costs one batch of HBM
+        # and zero transfers — it is only fetched if the fail-fast fires
+        pending = None
 
         def drain(pending):
             nonlocal moving_averages
             loss_vals = _fetch_floats(pending[0])
             tl = loss_vals[self._training_key]
+            if np.isnan(tl):
+                self._dump_nan_artifact(pending, loss_vals)
             assert not np.isnan(tl), "training_loss is NaN"
             if moving_averages is None:
                 moving_averages = {k: MovingAverage() for k in loss_vals}
@@ -173,7 +206,7 @@ class TrainingEpoch:
             if pending is not None:
                 with timers.span("drain"):
                     progress.set_postfix(drain(pending))
-            pending = (loss_dict, batch_size)
+            pending = (loss_dict, batch_size, batch, i)
             if (self._periodic_save is not None and self._save_every
                     and (i + 1) % self._save_every == 0):
                 # the host read inside the save syncs on the in-flight step;

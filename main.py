@@ -89,7 +89,8 @@ def main(argv=None):
             from irr_tpu.parallel.mesh import replicate
             state = replicate(state, mesh)
         step_fn = make_train_step(model, training_loss, optimizer, mesh=mesh)
-    eval_fn = make_eval_step(model, validation_loss, mesh=mesh) \
+    eval_fn = make_eval_step(model, validation_loss, mesh=mesh,
+                             pad_to=getattr(args, "batch_size_val", None)) \
         if validation_loss is not None else None
 
     if args._process_count > 1 and mesh is not None:

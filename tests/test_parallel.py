@@ -120,3 +120,38 @@ def test_spatial_2d_mesh_matches_unsharded():
     out = fn(place_params(params), shard_inputs(inp))
     np.testing.assert_allclose(np.asarray(out["flow"]), np.asarray(ref["flow"]),
                                atol=5e-5)
+
+
+def test_eval_step_pad_to_exact():
+    """Tail-batch padding (make_eval_step pad_to): a B=3 batch padded
+    in-graph to the canonical B=4 must produce the same metrics and the
+    same sliced outputs as the plain B=3 executable. (The padding exists
+    because the axon TPU backend miscompiles the odd-batch IRR_PWC eval
+    executable into all-NaN occ — see make_eval_step's docstring; on CPU
+    both paths are healthy so exactness is testable.)"""
+    model = models.PWCNet()
+    loss_fn = losses.MultiScaleEPE_PWC(batch_size=4, div_flow=0.05)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+    batch = _batch(3)
+
+    ld_plain, out_plain = make_eval_step(model, loss_fn)(params, batch)
+    ld_pad, out_pad = make_eval_step(model, loss_fn, pad_to=4)(params, batch)
+
+    assert out_pad["flow"].shape[0] == 3
+    np.testing.assert_allclose(float(ld_plain["epe"]), float(ld_pad["epe"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_plain["flow"]),
+                               np.asarray(out_pad["flow"]), atol=1e-4)
+
+
+def test_eval_step_pad_to_full_batch_unchanged():
+    """pad_to must be a no-op when the batch is already canonical."""
+    model = models.PWCNet()
+    loss_fn = losses.MultiScaleEPE_PWC(batch_size=4, div_flow=0.05)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+    batch = _batch(4)
+    ld_plain, _ = make_eval_step(model, loss_fn)(params, batch)
+    ld_pad, out = make_eval_step(model, loss_fn, pad_to=4)(params, batch)
+    assert out["flow"].shape[0] == 4
+    np.testing.assert_allclose(float(ld_plain["epe"]), float(ld_pad["epe"]),
+                               rtol=1e-6)

@@ -180,3 +180,34 @@ def test_nonfinite_validation_never_best(tmp_path):
                  validation_loader=[batch])
     best = json.load(open(os.path.join(str(tmp_path), "checkpoint_best.json")))
     assert best["epoch"] == 2 and best["epe"] == 4.0
+
+
+def test_training_nan_failfast_dumps_batch(tmp_path):
+    """When the training NaN fail-fast fires, the offending post-aug batch
+    and the recorded losses are dumped to <save>/nan_dump_*.npz for
+    perf/nan_postmortem.py — a preempted/restarted run no longer loses the
+    evidence (the r3 synth run crashed 4x in epoch 9 with nothing left to
+    examine)."""
+    import pytest
+    from irr_tpu.runtime.loop import TrainingEpoch
+
+    batches = [
+        {"input1": np.full((2, 8, 8, 3), float(i), np.float32)}
+        for i in range(3)
+    ]
+    losses_seq = iter([1.0, float("nan"), 2.0])
+
+    def step_fn(state, batch):
+        return state, {"total_loss": np.float32(next(losses_seq))}
+
+    args = types.SimpleNamespace(profile=False, save=str(tmp_path),
+                                 save_every_batches=0)
+    with pytest.raises(AssertionError, match="training_loss is NaN"):
+        TrainingEpoch(args, step_fn, batches).run(state=None)
+
+    dumps = [f for f in os.listdir(str(tmp_path)) if f.startswith("nan_dump")]
+    assert dumps == ["nan_dump_batch0001.npz"]
+    data = np.load(os.path.join(str(tmp_path), dumps[0]))
+    np.testing.assert_array_equal(data["input1"],
+                                  batches[1]["input1"])  # the NaN batch
+    assert np.isnan(data["loss__total_loss"])

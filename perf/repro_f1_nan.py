@@ -4,6 +4,14 @@ val path (bf16 production mode) over the TAIL of the frozen valid split,
 print per-batch epe/F1 and nan-scan the model outputs.
 
 Usage: JAX_PLATFORMS=cpu python perf/repro_f1_nan.py <experiment_dir> [root]
+       python perf/repro_f1_nan.py --pad <experiment_dir>   # on TPU
+
+Status (round 4): root-caused to an axon/XLA:TPU miscompile of the B=3
+odd-batch executable — this script run WITHOUT --pad on the TPU shows the
+all-NaN occ on the tail batch; the same run on CPU (env
+PYTHONPATH=/root/repo JAX_PLATFORMS=cpu) is clean. With --pad it applies
+the production fix (make_eval_step-style in-graph padding to B=4 +
+output slicing) and must be clean on TPU too.
 """
 
 import os
@@ -23,8 +31,10 @@ def main():
     from irr_tpu.nn.core import set_compute_dtype, normalize_image_batch
     from irr_tpu.runtime.checkpoint import CheckpointSaver
 
-    exp = sys.argv[1]
-    root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/chairs_occ_1850"
+    argv = [a for a in sys.argv[1:] if a != "--pad"]
+    use_pad = "--pad" in sys.argv[1:]
+    exp = argv[0]
+    root = argv[1] if len(argv) > 1 else "/tmp/chairs_occ_1850"
 
     set_compute_dtype(jnp.bfloat16)
     model = models.IRR_PWC(div_flow=0.05)
@@ -39,12 +49,17 @@ def main():
                         num_workers=1)
     n_batches = len(loader)
 
-    @jax.jit
-    def val_step(p, batch):
-        batch = normalize_image_batch(batch)
-        out = model.apply(p, batch, training=False)
-        ld = loss_mod(out, batch, training=False)
-        return ld, out
+    if use_pad:
+        from irr_tpu.parallel.train import make_eval_step
+        print("mode: padded eval (make_eval_step pad_to=4 — the fix)")
+        val_step = make_eval_step(model, loss_mod, pad_to=4)
+    else:
+        @jax.jit
+        def val_step(p, batch):
+            batch = normalize_image_batch(batch)
+            out = model.apply(p, batch, training=False)
+            ld = loss_mod(out, batch, training=False)
+            return ld, out
 
     for bi, batch in enumerate(loader):
         if bi < n_batches - 2:

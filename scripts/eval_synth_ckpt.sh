@@ -13,7 +13,8 @@ set -e
 EXP=${1:?usage: eval_synth_ckpt.sh <experiment_dir> [dataset_root]}
 ROOT=${2:-/tmp/chairs_occ_1850}
 
-common=(--batch_size_val=4 --model=IRR_PWC --model_div_flow=0.05
+common=(--batch_size_val=4 --compute_dtype=bfloat16
+        --model=IRR_PWC --model_div_flow=0.05
         --validation_loss=MultiScaleEPE_PWC_Bi_Occ_upsample
         --validation_dataset=FlyingChairsOccValid
         --validation_dataset_root="$ROOT"

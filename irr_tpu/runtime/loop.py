@@ -409,6 +409,9 @@ def exec_runtime(args, checkpoint_saver, state, step_fn, eval_fn,
                             else -float("inf"))
     store_as_best = False
     avg_loss_dict = {}
+    # persisted in every sidecar so a preemption resume keeps the stage's
+    # LR-schedule origin (config.resolve_stage_start_epoch)
+    stage_start = int(getattr(args, "_stage_start_epoch", args.start_epoch))
 
     # one augmentation key chain for the WHOLE run, seeded by --seed:
     # restarting it every epoch would replay the identical jitter/affine
@@ -443,7 +446,8 @@ def exec_runtime(args, checkpoint_saver, state, step_fn, eval_fn,
                             stats_dict={"epoch": _epoch - 1,
                                         "resume_epoch": _epoch,
                                         "phase": "mid_epoch",
-                                        "batches_done": batch_idx},
+                                        "batches_done": batch_idx,
+                                        "stage_start_epoch": stage_start},
                             opt_state=s.opt_state)
                 state, avg_loss_dict, train_aug_state = TrainingEpoch(
                     args, step_fn, train_loader,
@@ -458,7 +462,8 @@ def exec_runtime(args, checkpoint_saver, state, step_fn, eval_fn,
                         directory=args.save, params=state.params,
                         stats_dict=dict(avg_loss_dict, epoch=epoch,
                                         resume_epoch=epoch + 1,
-                                        phase="trained"),
+                                        phase="trained",
+                                        stage_start_epoch=stage_start),
                         opt_state=state.opt_state)
 
             if validation_loader is not None:
@@ -489,7 +494,8 @@ def exec_runtime(args, checkpoint_saver, state, step_fn, eval_fn,
                     params=state.params,
                     stats_dict=dict(avg_loss_dict, epoch=epoch,
                                     resume_epoch=epoch + 1,
-                                    phase="validated"),
+                                    phase="validated",
+                                    stage_start_epoch=stage_start),
                     store_as_best=store_as_best,
                     opt_state=state.opt_state)
         if validation_loader is not None and np.isfinite(best_validation_loss):

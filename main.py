@@ -123,13 +123,23 @@ def main(argv=None):
             return avg
         return None
 
-    # torch scheduler contract: n steps taken before epoch e = e - start_epoch
+    # torch scheduler contract: n steps taken before epoch e = e - start_epoch.
+    # EXCEPT a preemption resume (resume_from_latest + exact opt-state
+    # restore): that is a CONTINUATION of the same stage, so the schedule
+    # origin is the stage's ORIGINAL start epoch (persisted as
+    # stage_start_epoch in the checkpoint sidecar) — otherwise every
+    # supervisor relaunch silently shifts the MultiStepLR milestones by
+    # the resume offset (this run's stage-1 milestone 15 drifted to 26
+    # before the fix). A curriculum stage change (resume_from_best, fresh
+    # optimizer) keeps the reference's restart-from-0 quirk.
+    stage_start = config.resolve_stage_start_epoch(args)
+    args._stage_start_epoch = stage_start
     base_lrs = optim.get_lr_leaves(state.opt_state) if state is not None else {}
 
     def lr_for_epoch(epoch):
         if lr_scheduler is None:
             return base_lr
-        return lr_scheduler.lr(base_lr, epoch - args.start_epoch)
+        return lr_scheduler.lr(base_lr, epoch - stage_start)
 
     def set_lr(state, lr):
         scale = lr / base_lr if base_lr else 1.0

@@ -124,3 +124,40 @@ def test_rprop_matches_torch_trajectory():
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
     np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(),
                                rtol=1e-6)
+
+
+def test_resolve_stage_start_epoch(tmp_path):
+    """A preemption resume (resume_from_latest + exact opt restore) keeps
+    the stage's original LR-schedule origin from the sidecar; a curriculum
+    stage change (resume_from_best, fresh optimizer) restarts the count at
+    start_epoch (the reference quirk). Without this, every supervisor
+    relaunch shifted MultiStepLR milestones by the resume offset."""
+    import json
+    import os
+    import types
+    from irr_tpu.config import resolve_stage_start_epoch
+
+    side = os.path.join(str(tmp_path), "checkpoint_latest.json")
+    with open(side, "w") as f:
+        json.dump({"resume_epoch": 17, "stage_start_epoch": 1}, f)
+
+    resume = types.SimpleNamespace(
+        start_epoch=17, checkpoint=str(tmp_path),
+        checkpoint_mode="resume_from_latest",
+        checkpoint_resume_optimizer=True)
+    assert resolve_stage_start_epoch(resume) == 1
+
+    stage_change = types.SimpleNamespace(
+        start_epoch=31, checkpoint=str(tmp_path),
+        checkpoint_mode="resume_from_best",
+        checkpoint_resume_optimizer=False)
+    assert resolve_stage_start_epoch(stage_change) == 31
+
+    with open(side, "w") as f:  # legacy sidecar without the field
+        json.dump({"resume_epoch": 17}, f)
+    assert resolve_stage_start_epoch(resume) == 17
+
+    fresh = types.SimpleNamespace(start_epoch=1, checkpoint=None,
+                                  checkpoint_mode="resume_from_latest",
+                                  checkpoint_resume_optimizer=False)
+    assert resolve_stage_start_epoch(fresh) == 1

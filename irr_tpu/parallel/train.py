@@ -46,6 +46,7 @@ def make_train_step(model, loss_fn, optimizer, mesh=None, donate=True):
     """
 
     def step(state, batch):
+        import jax.numpy as jnp
         batch = normalize_image_batch(batch)
 
         def loss_of(params):
@@ -56,6 +57,25 @@ def make_train_step(model, loss_fn, optimizer, mesh=None, donate=True):
         (_, loss_dict), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        # In-graph non-finite containment: if this batch's loss is not
+        # finite, KEEP the previous params/opt state — the poisoned
+        # gradients never enter the model. A transient NaN batch then
+        # costs one skipped step instead of a process death + supervisor
+        # restart + recompile (the r3/r4 synth runs crashed 4-9x on
+        # occ-branch NaN transients; each restart burns 5-17 min of chip).
+        # The skip is REPORTED (skipped_nonfinite in the loss dict): the
+        # runtime loop logs it, dumps the batch for post-mortem, and
+        # still fail-fasts if skips persist (real divergence, not a
+        # transient). Cost: one isfinite + select per leaf, noise vs the
+        # step. The reference has no equivalent (it asserts and dies,
+        # runtime.py:183).
+        ok = jnp.isfinite(loss_dict["total_loss"])
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new, old)
+        params = keep(params, state.params)
+        opt_state = keep(opt_state, state.opt_state)
+        loss_dict = dict(loss_dict,
+                         skipped_nonfinite=(1.0 - ok.astype(jnp.float32)))
         return TrainState(params, opt_state), pack_losses(loss_dict)
 
     if mesh is not None:

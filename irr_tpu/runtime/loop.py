@@ -134,24 +134,46 @@ class TrainingEpoch:
             logging.warning("NaN batch dump failed: %s", e)
             return None
 
+    # a NaN batch that the in-graph guard contained (parallel/train.py:
+    # the update was skipped, params untouched) is logged and survived;
+    # more than this many in one epoch is divergence, not a transient
+    MAX_NONFINITE_SKIPS = 10
+    MAX_NAN_DUMPS = 2  # keep post-mortem artifacts for the first few only
+
     def run(self, state, aug_state=None):
         moving_averages = None
         # (loss_dict device arrays, batch_size, batch device arrays, index)
         # from the previous step; holding the batch costs one batch of HBM
         # and zero transfers — it is only fetched if the fail-fast fires
         pending = None
+        nan_skips = 0
+        nan_dumps = 0
 
         def drain(pending):
-            nonlocal moving_averages
+            nonlocal moving_averages, nan_skips, nan_dumps
             loss_vals = _fetch_floats(pending[0])
             tl = loss_vals[self._training_key]
-            if np.isnan(tl):
-                self._dump_nan_artifact(pending, loss_vals)
-            assert not np.isnan(tl), "training_loss is NaN"
+            if not np.isfinite(tl):
+                if nan_dumps < self.MAX_NAN_DUMPS:
+                    nan_dumps += 1
+                    self._dump_nan_artifact(pending, loss_vals)
+                contained = loss_vals.get("skipped_nonfinite", 0.0) >= 1.0
+                assert contained, "training_loss is NaN"
+                nan_skips += 1
+                logging.warning(
+                    "training_loss non-finite at batch %d — update skipped "
+                    "in-graph, params untouched (%d this epoch)",
+                    pending[3], nan_skips)
+                assert nan_skips <= self.MAX_NONFINITE_SKIPS, (
+                    "training_loss non-finite on %d batches this epoch — "
+                    "divergence, not a transient" % nan_skips)
+                return collections.OrderedDict()  # keep meters clean
             if moving_averages is None:
-                moving_averages = {k: MovingAverage() for k in loss_vals}
+                moving_averages = {k: MovingAverage() for k in loss_vals
+                                   if k != "skipped_nonfinite"}
             for k, v in loss_vals.items():
-                moving_averages[k].add_average(v, addcount=pending[1])
+                if k in moving_averages:
+                    moving_averages[k].add_average(v, addcount=pending[1])
             return collections.OrderedDict(
                 (k + "_ema", "%1.4f" % moving_averages[k].mean())
                 for k in sorted(moving_averages))
@@ -232,6 +254,10 @@ class TrainingEpoch:
         timers.log(self._desc, n)
 
         ema = {k: m.mean() for k, m in (moving_averages or {}).items()}
+        if nan_skips:
+            logging.warning("epoch had %d non-finite batches (updates "
+                            "skipped in-graph)", nan_skips)
+            ema["nan_skipped_batches"] = nan_skips
         return state, ema, aug_state
 
 

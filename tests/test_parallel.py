@@ -155,3 +155,48 @@ def test_eval_step_pad_to_full_batch_unchanged():
     assert out["flow"].shape[0] == 4
     np.testing.assert_allclose(float(ld_plain["epe"]), float(ld_pad["epe"]),
                                rtol=1e-6)
+
+
+def test_train_step_skips_nonfinite_update():
+    """In-graph non-finite containment (make_train_step): a batch whose
+    loss is NaN must leave params and opt state EXACTLY unchanged and set
+    skipped_nonfinite=1; a clean batch must update params and report 0."""
+    model = models.PWCNet()
+    optimizer = optim.Adam(lr=1e-4)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+
+    class PoisonableLoss:
+        poison = False
+
+        def __call__(self, out, batch, training=False):
+            loss_fn = losses.MultiScaleEPE_PWC(batch_size=2, div_flow=0.05)
+            ld = loss_fn(out, batch, training=training)
+            if self.poison:  # trace-time switch -> two executables
+                ld["total_loss"] = ld["total_loss"] * jnp.float32("nan")
+            return ld
+
+    loss = PoisonableLoss()
+    batch = _batch(2, h=32, w=48)
+    state0 = TrainState(params, optimizer.init(params))
+
+    loss.poison = True
+    step_bad = make_train_step(model, loss, optimizer, donate=False)
+    state1, ld1 = step_bad(state0, batch)
+    assert float(ld1["skipped_nonfinite"]) == 1.0
+    for a, b in zip(jax.tree_util.tree_leaves(state0.params),
+                    jax.tree_util.tree_leaves(state1.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state0.opt_state),
+                    jax.tree_util.tree_leaves(state1.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    loss.poison = False
+    step_ok = make_train_step(model, loss, optimizer, donate=False)
+    state2, ld2 = step_ok(state0, batch)
+    assert float(ld2["skipped_nonfinite"]) == 0.0
+    assert np.isfinite(float(ld2["total_loss"]))
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state0.params),
+                        jax.tree_util.tree_leaves(state2.params)))
+    assert changed

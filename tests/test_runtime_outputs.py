@@ -211,3 +211,49 @@ def test_training_nan_failfast_dumps_batch(tmp_path):
     np.testing.assert_array_equal(data["input1"],
                                   batches[1]["input1"])  # the NaN batch
     assert np.isnan(data["loss__total_loss"])
+
+
+def test_training_contained_nan_skips_and_survives(tmp_path, caplog):
+    """A non-finite batch whose update the in-graph guard skipped
+    (skipped_nonfinite=1) is warned about and survived — training
+    continues, the batch stays out of the EMA meters, the epoch stats
+    carry nan_skipped_batches, and a dump is written for post-mortem."""
+    import logging as _logging
+    from irr_tpu.runtime.loop import TrainingEpoch
+
+    batches = [{"input1": np.zeros((2, 8, 8, 3), np.float32)}] * 4
+    seq = iter([(1.0, 0.0), (float("nan"), 1.0), (3.0, 0.0), (5.0, 0.0)])
+
+    def step_fn(state, batch):
+        tl, skipped = next(seq)
+        return state, {"total_loss": np.float32(tl),
+                       "skipped_nonfinite": np.float32(skipped)}
+
+    args = types.SimpleNamespace(profile=False, save=str(tmp_path),
+                                 save_every_batches=0)
+    with caplog.at_level(_logging.WARNING):
+        _, ema, _ = TrainingEpoch(args, step_fn, batches).run(state=None)
+    assert any("update skipped in-graph" in r.message for r in caplog.records)
+    np.testing.assert_allclose(ema["total_loss"], 3.0)  # mean of 1, 3, 5
+    assert ema["nan_skipped_batches"] == 1
+    assert len([f for f in os.listdir(str(tmp_path))
+                if f.startswith("nan_dump")]) == 1
+
+
+def test_training_persistent_nan_still_failfasts(tmp_path):
+    """More contained skips than MAX_NONFINITE_SKIPS in one epoch is
+    divergence — the fail-fast must still abort the run."""
+    import pytest
+    from irr_tpu.runtime.loop import TrainingEpoch
+
+    n = TrainingEpoch.MAX_NONFINITE_SKIPS + 2
+    batches = [{"input1": np.zeros((1, 8, 8, 3), np.float32)}] * n
+
+    def step_fn(state, batch):
+        return state, {"total_loss": np.float32("nan"),
+                       "skipped_nonfinite": np.float32(1.0)}
+
+    args = types.SimpleNamespace(profile=False, save=str(tmp_path),
+                                 save_every_batches=0)
+    with pytest.raises(AssertionError, match="divergence"):
+        TrainingEpoch(args, step_fn, batches).run(state=None)

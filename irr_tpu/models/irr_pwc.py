@@ -53,8 +53,11 @@ class IRR_PWC(Module):
         self.approx_guidance = bool(approx_guidance)
         # --model_grouped_towers=True: run each level's flow+occ estimator
         # and context-net pairs as feature_group_count=2 grouped convs
-        # (nn/pwc.py grouped_flow_occ_stage) — EXACT same math (pinned in
-        # tests/test_grouped_stage.py), half the conv dispatches.
+        # (nn/pwc.py grouped_flow_occ_stage), half the conv dispatches.
+        # Exact same math in f32 (pinned bit-identical on a trained
+        # checkpoint, perf/repro_grouped_mismatch.py); under bf16 the
+        # different accumulation order is amplified by the iterative
+        # refinement to a measured EPE cost (RESULTS.md) — opt-in only.
         self.grouped_towers = bool(grouped_towers)
 
         self.extractor = FeatureExtractor(NUM_CHS)

@@ -5,7 +5,9 @@
 #   exact           - the reference-exact path (the number for RESULTS.md)
 #   approx_guidance - quarter-density L5/L6 guidance warps (EPE cost of
 #                     the opt-in mode, VERDICT r2 #1c)
-#   grouped_towers  - grouped-conv towers (must match exact to ~1e-3)
+#   grouped_towers  - grouped-conv towers (bit-exact in f32; in bf16 the
+#                     different accumulation order costs measured EPE —
+#                     RESULTS.md "Final evaluation")
 #
 # Usage: scripts/eval_synth_ckpt.sh <experiment_dir> [dataset_root]
 

@@ -214,7 +214,8 @@ def main():
     # against trained checkpoints (scripts/eval_synth_ckpt.sh, RESULTS.md)
     approx = "--approx-guidance" in sys.argv
     # --grouped-towers: time the grouped-conv flow+occ towers
-    # (--model_grouped_towers); output must match exact to ~1e-3
+    # (--model_grouped_towers); bit-exact in f32, measured EPE cost in
+    # bf16 (RESULTS.md "Final evaluation")
     # (scripts/eval_synth_ckpt.sh checks this on trained weights)
     grouped = "--grouped-towers" in sys.argv
     model = models.IRR_PWC(approx_guidance=approx, grouped_towers=grouped)
@@ -253,10 +254,16 @@ def main():
     }))
 
 
-def _device_reachable(timeout=240):
+def _device_reachable(timeout=480):
     """Fast-fail probe: a dead TPU tunnel HANGS at backend init (it does
     not error), which would wedge the whole bench run. Probe in a
-    subprocess with a timeout before touching jax in this process."""
+    subprocess with a timeout before touching jax in this process.
+
+    480 s: immediately after ANOTHER process releases the tunnel, the
+    next client's backend init can exceed 240 s even on a healthy chip
+    (measured 2026-08-19: three back-to-back `--grouped-towers` runs
+    false-failed the 240 s probe while their neighbors ran fine); the
+    probe exists to catch a HANG, not to race a slow re-attach."""
     import subprocess
     code = "import jax, jax.numpy as jnp; print(float((jnp.ones((4,)) * 3)[0]))"
     try:

@@ -68,6 +68,8 @@ def run_with_loader():
     from irr_tpu.data.loader import DataLoader
     from irr_tpu.nn.core import set_compute_dtype
 
+    _enable_compile_cache(jax)
+
     root = os.environ.get("IRR_BENCH_DATA", "/tmp/irr_bench_sintel")
     _make_sintel_tree(root)
     # decoded-sample cache: the warmup epoch decodes + fills it, the timed
@@ -202,12 +204,26 @@ def run_loader_only():
     }))
 
 
+def _enable_compile_cache(jax):
+    """Same persistent XLA compile cache main.py uses: repeat bench runs
+    (driver end-of-round, mode sweeps) skip the 20-40 s cold compile."""
+    cache_dir = os.environ.get("IRR_TPU_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/irr_tpu_xla"))
+    if cache_dir and cache_dir != "0":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from irr_tpu import models
     from irr_tpu.nn.core import set_compute_dtype
 
+    _enable_compile_cache(jax)
     set_compute_dtype(jnp.bfloat16)
     # --approx-guidance: time the opt-in quarter-density guidance-warp
     # mode (--model_approx_guidance); its EPE cost is measured separately

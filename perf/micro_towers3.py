@@ -84,43 +84,64 @@ def shiftsum_matmul(x, w):
     return acc.astype(x.dtype)
 
 
+def bench_retry(make_body, label):
+    """One tunnel hiccup (remote_compile broken pipe) should cost one
+    retry, not the whole run; a dead tunnel marks this variant nan and
+    the run continues printing partial results (flushed per variant)."""
+    for attempt in range(2):
+        try:
+            t = bench_ingraph(make_body)
+            print(f" {t:9.3f}", end="", flush=True)
+            return t
+        except Exception as e:  # noqa: BLE001 — tunnel transport errors
+            if attempt == 0:
+                print(f" [{label} retry: {type(e).__name__}]",
+                      end="", flush=True)
+                time.sleep(60)
+    print(f" {'nan':>9}", end="", flush=True)
+    return float("nan")
+
+
 def main():
     dt = jnp.bfloat16
     tower = [(115, 128), (243, 128), (371, 96), (467, 64), (531, 32),
              (563, 2)]
-    print(f"shapes: B={B} {H}x{W}, dtype={dt.__name__}; ms per layer")
+    print(f"shapes: B={B} {H}x{W}, dtype={dt.__name__}; ms per layer",
+          flush=True)
     print(f"{'cin->cout':>12} {'conv3x3':>9} {'im2col':>9} {'shiftsum':>9} "
-          f"{'mm-floor':>9}")
+          f"{'mm-floor':>9}", flush=True)
     tot = {"conv": 0.0, "im2col": 0.0, "shift": 0.0, "floor": 0.0}
     for cin, cout in tower:
         x = dev_rand((B, H, W, cin), dt)
         w = dev_rand((3, 3, cin, cout), dt)
         wmat = dev_rand((9 * cin, cout), dt)
 
-        t_conv = bench_ingraph(
+        print(f"{cin:>6}->{cout:<5}", end="", flush=True)
+        t_conv = bench_retry(
             lambda c, i, x=x, w=w: jnp.sum(
-                conv3x3(x + c.astype(dt), w)).astype(jnp.float32))
-        t_i2c = bench_ingraph(
+                conv3x3(x + c.astype(dt), w)).astype(jnp.float32), "conv")
+        t_i2c = bench_retry(
             lambda c, i, x=x, wmat=wmat: jnp.sum(
-                im2col_matmul(x + c.astype(dt), wmat)).astype(jnp.float32))
-        t_ss = bench_ingraph(
+                im2col_matmul(x + c.astype(dt), wmat)).astype(jnp.float32),
+            "im2col")
+        t_ss = bench_retry(
             lambda c, i, x=x, w=w: jnp.sum(
-                shiftsum_matmul(x + c.astype(dt), w)).astype(jnp.float32))
+                shiftsum_matmul(x + c.astype(dt), w)).astype(jnp.float32),
+            "shiftsum")
         # MXU ceiling: the same FLOPs as ONE dense matmul, ideal shapes
         m = B * H * W
         a = dev_rand((m, 9 * cin), dt)
         bm = dev_rand((9 * cin, max(cout, 8)), dt)
-        t_mm = bench_ingraph(
+        t_mm = bench_retry(
             lambda c, i, a=a, bm=bm: jnp.sum(
-                (a + c.astype(dt)) @ bm).astype(jnp.float32))
-        print(f"{cin:>6}->{cout:<5} {t_conv:9.3f} {t_i2c:9.3f} {t_ss:9.3f} "
-              f"{t_mm:9.3f}")
+                (a + c.astype(dt)) @ bm).astype(jnp.float32), "mm")
+        print(flush=True)
         tot["conv"] += t_conv
         tot["im2col"] += t_i2c
         tot["shift"] += t_ss
         tot["floor"] += t_mm
     print(f"{'TOTAL':>12} {tot['conv']:9.3f} {tot['im2col']:9.3f} "
-          f"{tot['shift']:9.3f} {tot['floor']:9.3f}")
+          f"{tot['shift']:9.3f} {tot['floor']:9.3f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -15,6 +15,7 @@ conv and against the pure-matmul MXU ceiling:
 Usage: python perf/micro_towers3.py          (real TPU)
 """
 
+import os
 import sys
 import time
 
@@ -24,6 +25,19 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# Persistent compile cache (same knob as main.py/bench.py): 24 separate
+# jit programs through the tunnel's remote_compile cost ~2 min EACH cold
+# — without the cache one tunnel drop restarts the whole budget, with it
+# every retry resumes where the last attempt got to.
+_cache = os.environ.get("IRR_TPU_COMPILE_CACHE",
+                        os.path.expanduser("~/.cache/irr_tpu_xla"))
+if _cache and _cache != "0":
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 REPS = 10
 B, H, W = 16, 110, 256   # L4 eval shape, stacked bidirectional batch

@@ -234,6 +234,13 @@ def main():
     # bf16 (RESULTS.md "Final evaluation")
     # (scripts/eval_synth_ckpt.sh checks this on trained weights)
     grouped = "--grouped-towers" in sys.argv
+    # --conv-impl im2col|shiftsum: dense-tower conv codegen reformulations
+    # (nn.core.set_conv_impl) — same multiply-add set as the XLA conv path
+    impl = "conv"
+    if "--conv-impl" in sys.argv:
+        from irr_tpu.nn.core import set_conv_impl
+        impl = sys.argv[sys.argv.index("--conv-impl") + 1]
+        set_conv_impl(impl)
     model = models.IRR_PWC(approx_guidance=approx, grouped_towers=grouped)
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
 
@@ -263,7 +270,8 @@ def main():
     print(json.dumps({
         "metric": "IRR-PWC eval image pairs/sec/chip @ Sintel 1024x436 (bf16)"
                   + (" [approx_guidance]" if approx else "")
-                  + (" [grouped_towers]" if grouped else ""),
+                  + (" [grouped_towers]" if grouped else "")
+                  + (f" [conv_impl={impl}]" if impl != "conv" else ""),
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_A100_PAIRS_PER_SEC, 3),

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_POLICY = {"compute_dtype": jnp.float32}
+_POLICY = {"compute_dtype": jnp.float32, "conv_impl": "conv"}
 
 
 def set_compute_dtype(dtype):
@@ -30,6 +30,33 @@ def set_compute_dtype(dtype):
 
 def compute_dtype():
     return _POLICY["compute_dtype"]
+
+
+_CONV_IMPLS = ("conv", "im2col", "shiftsum")
+
+
+def set_conv_impl(impl):
+    """Codegen policy for the dense 3x3 stride-1 feature convs (the
+    estimator/context "towers" — the one compute block XLA's TPU conv
+    lowering leaves at ~30% MXU, PERF.md "Open leads" #1).
+
+    conv      lax.conv_general_dilated (default, reference-exact lowering)
+    im2col    materialize the 9 dilated taps -> ONE (B*H*W, 9Cin)@(9Cin,
+              Cout) MXU matmul (9x HBM traffic for a perfect matmul shape)
+    shiftsum  sum of 9 shifted pointwise matmuls, f32 accumulation
+
+    Both reformulations compute the identical multiply-add set; they are
+    opt-in (--conv_impl) and only rewrite eligible convs (k=3, stride 1,
+    pad == dilation, cout >= 16) — strided convs, transposed convs and
+    the f32 flow/occ heads keep the lax.conv path.
+    """
+    if impl not in _CONV_IMPLS:
+        raise ValueError(f"conv_impl must be one of {_CONV_IMPLS}, got {impl!r}")
+    _POLICY["conv_impl"] = impl
+
+
+def conv_impl():
+    return _POLICY["conv_impl"]
 
 
 def head_dtype(cout):
@@ -108,6 +135,40 @@ class Module:
         raise NotImplementedError
 
 
+def _conv3x3_taps(x, dilation):
+    """The 9 dilated-3x3 taps of a shape-preserving conv (pad == dilation),
+    as statically shifted views of the padded input, (dy, dx) row-major —
+    matching the (3, 3, Cin, Cout) HWIO weight flattened to (9*Cin, Cout)."""
+    d = dilation
+    h, w = x.shape[1], x.shape[2]
+    xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
+    return [xp[:, dy * d:dy * d + h, dx * d:dx * d + w, :]
+            for dy in range(3) for dx in range(3)]
+
+
+def _conv3x3_matmul(x, w, dilation, impl):
+    """Shape-preserving 3x3 conv as explicit MXU matmuls (set_conv_impl).
+
+    Same multiply-add set as lax.conv_general_dilated; the reduction order
+    differs only within the MXU's f32 accumulation. im2col: one
+    (B*H*W, 9Cin)@(9Cin, Cout) product over concatenated taps. shiftsum:
+    9 pointwise (Cin-deep) products accumulated in f32.
+    """
+    taps = _conv3x3_taps(x, dilation)
+    cout = w.shape[-1]
+    if impl == "im2col":
+        patches = jnp.concatenate(taps, axis=-1)              # (B,H,W,9Cin)
+        wmat = w.reshape(-1, cout)                            # (9Cin, Cout)
+        y = patches.reshape(-1, patches.shape[-1]) @ wmat
+        return y.reshape(x.shape[:3] + (cout,)).astype(x.dtype)
+    acc = None
+    for t, (dy, dx) in zip(taps, [(i, j) for i in range(3) for j in range(3)]):
+        part = jnp.einsum("bhwc,cf->bhwf", t, w[dy, dx],
+                          preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    return acc.astype(x.dtype)
+
+
 class Conv(Module):
     """Conv2d(+LeakyReLU(0.1)) on NHWC, weights HWIO.
 
@@ -135,6 +196,13 @@ class Conv(Module):
             p["b"] = jnp.zeros((self.cout,), jnp.float32)
         return p
 
+    def _eligible_for_matmul(self):
+        # the dense tower convs: 3x3, stride 1, shape-preserving (pad ==
+        # dilation), feature-width output. Heads (cout < 16, f32) and
+        # strided pyramid convs keep the reference-exact lax.conv path.
+        return (self.k == 3 and self.stride == 1
+                and self.pad == self.dilation and self.cout >= 16)
+
     def __call__(self, params, x):
         # Under a bf16 policy, FEATURE convs run fully in bf16 (inputs,
         # MXU output, stored activations — the MXU still accumulates f32
@@ -143,14 +211,19 @@ class Conv(Module):
         # bf16 rounding would cost accuracy. Keeping input/output dtypes
         # consistent per conv also keeps the autodiff transpose well-typed.
         dt = head_dtype(self.cout)
-        y = lax.conv_general_dilated(
-            x.astype(dt), params["w"].astype(dt),
-            window_strides=(self.stride, self.stride),
-            padding=[(self.pad, self.pad), (self.pad, self.pad)],
-            rhs_dilation=(self.dilation, self.dilation),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=dt,
-        )
+        impl = conv_impl()
+        if impl != "conv" and self._eligible_for_matmul():
+            y = _conv3x3_matmul(x.astype(dt), params["w"].astype(dt),
+                                self.dilation, impl)
+        else:
+            y = lax.conv_general_dilated(
+                x.astype(dt), params["w"].astype(dt),
+                window_strides=(self.stride, self.stride),
+                padding=[(self.pad, self.pad), (self.pad, self.pad)],
+                rhs_dilation=(self.dilation, self.dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=dt,
+            )
         if self.bias:
             y = y + params["b"].astype(dt)
         return leaky_relu(y) if self.relu else y

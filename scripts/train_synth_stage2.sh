@@ -7,6 +7,12 @@
 # supervisor's own resumes within this stage restore opt state), LR
 # schedule continuation via --start_epoch, same frozen valid split.
 #
+# NB milestones are STAGE-RELATIVE: a fresh curriculum stage restarts the
+# scheduler count from 0 (the reference's runtime.py:569 quirk, preserved
+# in lr_scheduler.py) — so [5] here means "5 epochs into this stage",
+# i.e. absolute epoch 36 with --start_epoch=31. The r4 stage-2 run shipped
+# with [36] (absolute-style), which therefore never fired (RESULTS.md).
+#
 # Usage: scripts/train_synth_stage2.sh [END_EPOCH] (default 40; stage 1
 # ended at 30)
 set -e
@@ -30,7 +36,7 @@ exec python scripts/supervise_train.py -- python main.py \
   --checkpoint="$PREV" --checkpoint_mode=resume_from_best \
   --start_epoch=31 \
   --optimizer=Adam --optimizer_lr=1e-5 --optimizer_weight_decay=4e-4 \
-  --lr_scheduler=MultiStepLR "--lr_scheduler_milestones=[36]" \
+  --lr_scheduler=MultiStepLR "--lr_scheduler_milestones=[5]" \
   --lr_scheduler_gamma=0.5 \
   --total_epochs="$END" \
   --training_dataset=FlyingChairsOccTrain \

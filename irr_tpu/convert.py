@@ -146,8 +146,18 @@ def load_into_params(state_dict, params):
 
 
 def main(argv=None):
+    """CLI: `python -m irr_tpu.convert <ref.ckpt> <out.ckpt> --model IRR_PWC`.
+
+    <ref.ckpt> is a reference checkpoint — torch.save of
+    {**stats, "state_dict": model_and_loss.state_dict()}
+    (configuration.py:281-300) or a bare state_dict — loaded with torch
+    when available, numpy pickle otherwise. <out.ckpt> is written in
+    irr_tpu's npz checkpoint format at EXACTLY that path; point
+    `main.py --checkpoint=<out.ckpt>` at it directly (resolve() passes
+    concrete files through).
+    """
     from . import models as model_zoo
-    from .runtime.checkpoint import CheckpointSaver
+    from .runtime import checkpoint as ckpt_mod
     import jax
 
     p = argparse.ArgumentParser()
@@ -158,14 +168,15 @@ def main(argv=None):
 
     try:
         import torch
-        sd = torch.load(args.src, map_location="cpu")
-        if "state_dict" in sd:
-            sd = sd["state_dict"]
-        sd = {k: v.numpy() for k, v in sd.items()}
-    except Exception:
+        sd = torch.load(args.src, map_location="cpu", weights_only=False)
+    except ImportError:
         import pickle
         with open(args.src, "rb") as f:
             sd = pickle.load(f)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+          for k, v in sd.items()}
 
     model = getattr(model_zoo, args.model)()
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
@@ -174,13 +185,16 @@ def main(argv=None):
           f"missing {len(stats['missing'])}; "
           f"unused {len(stats['unused'])}; "
           f"shape mismatches {len(stats['shape_mismatch'])}")
-    CheckpointSaver().save_latest(directory_of(args.dst), new_params)
-
-
-def directory_of(path):
-    import os
-    d = os.path.dirname(path) or "."
-    return d
+    for key, got, want in stats["shape_mismatch"][:10]:
+        print(f"  shape mismatch {key}: ckpt {got} vs model {want}")
+    if stats["placed"] == 0:
+        raise SystemExit(f"no tensors mapped onto {args.model} — wrong "
+                         f"--model or not a reference checkpoint?")
+    flat = ckpt_mod._flatten(new_params)
+    with open(args.dst, "wb") as f:  # file handle: savez must not append .npz
+        np.savez(f, **flat)
+    print(f"wrote {args.dst} "
+          f"({stats['placed']}/{len(flat)} tensors from {args.src})")
 
 
 if __name__ == "__main__":

@@ -98,3 +98,48 @@ def test_deconv_weight_transform_matches_torch():
     p = {"w": jnp.asarray(torch_deconv_to_hwio(w_t))}
     got = np.asarray(deconv(p, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_convert_cli_end_to_end(tmp_path):
+    """`python -m irr_tpu.convert ref.ckpt out.ckpt` on a checkpoint in the
+    reference's on-disk format (torch.save of {**stats, "state_dict": ...},
+    configuration.py:281-300): the written npz restores 1:1 through
+    CheckpointSaver, ready for `main.py --checkpoint=<out.ckpt>`."""
+    from irr_tpu import convert as convert_mod
+    from irr_tpu.runtime.checkpoint import CheckpointSaver
+
+    model = models.IRR_PWC()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(7)
+
+    sd, expected = {}, {}
+    for path, leaf in param_paths(params).items():
+        key = "_model." + _torch_key_for(path)
+        arr = rng.randn(*leaf.shape).astype(np.float32)
+        expected[path] = arr
+        t = np.transpose(arr, (3, 2, 0, 1)) if path.endswith("/w") else arr
+        sd[key] = torch.from_numpy(t)
+
+    src = str(tmp_path / "checkpoint_best.ckpt")
+    torch.save({"epoch": 108, "epe": 1.5, "state_dict": sd}, src)
+
+    dst = str(tmp_path / "converted.ckpt")
+    convert_mod.main([src, dst, "--model", "IRR_PWC"])
+
+    restored = CheckpointSaver().restore(dst, params)
+    for path, leaf in param_paths(restored).items():
+        np.testing.assert_array_equal(np.asarray(leaf), expected[path])
+
+
+def test_convert_cli_rejects_wrong_model(tmp_path):
+    """A state_dict whose keys map onto nothing in --model must fail loudly
+    (placed == 0), not write an untouched random-init checkpoint."""
+    from irr_tpu import convert as convert_mod
+    import pytest as _pytest
+
+    src = str(tmp_path / "bogus.ckpt")
+    torch.save({"state_dict": {
+        "_model.not_a_module.0.weight": torch.zeros(4, 4, 3, 3)}}, src)
+    with _pytest.raises(SystemExit):
+        convert_mod.main([src, str(tmp_path / "out.ckpt"),
+                          "--model", "IRR_PWC"])

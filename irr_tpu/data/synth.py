@@ -233,6 +233,51 @@ def generate_chairs_occ(root, n, h=H_DEF, w=W_DEF, seed=0, start=0):
         write_flo(stem + "_flow_b.flo", s["flow_b"])
 
 
+# Real KITTI-2015 native frame sizes (the dataset uses a handful of camera
+# crops in this range); all land in the single (384, 1280) pad bucket at
+# multiple=64 (datasets.py pad_to_multiple).
+_KITTI_SIZES = [(375, 1242), (370, 1224), (374, 1238), (376, 1241)]
+
+
+def generate_kitti(root, n=200, seed=0, start=0, sizes=None):
+    """Write n frame pairs in KITTI-2015 scene-flow layout under root.
+
+    Layout is the glob contract of KittiComb2015* (datasets.py:497-507,
+    mirroring reference datasets/kitti_combined.py):
+      root/data_scene_flow/training/image_2/%06d_1{0,1}.png
+      root/data_scene_flow/training/flow_occ/%06d_10.png  (16-bit u,v,valid)
+
+    KITTI ground truth is sparse (lidar accumulation), so validity is
+    simulated with a vertical density ramp — near-empty sky at the top,
+    ~75% dense road at the bottom — giving the sparse masked losses and
+    their per-image valid-count normalization realistic structure. Frame
+    sizes cycle through the real KITTI native range so the padded
+    single-bucket eval path is exercised on true native shapes.
+    n=200 matches the real KITTI-2015 training set, so the frozen
+    KITTI_2015_VALIDATE_INDICES split (40 val / 160 train) applies as-is.
+    """
+    from PIL import Image
+    from ..utils.flow_io import write_flow_png
+    img_dir = os.path.join(root, "data_scene_flow", "training", "image_2")
+    flo_dir = os.path.join(root, "data_scene_flow", "training", "flow_occ")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(flo_dir, exist_ok=True)
+    sizes = sizes or _KITTI_SIZES
+    for i in range(start, start + n):
+        rng = np.random.RandomState(seed * 2000003 + i)
+        h, w = sizes[i % len(sizes)]
+        s = make_scene(rng, h, w)
+        density = np.linspace(0.02, 0.75, h, dtype=np.float32)[:, None]
+        valid = (rng.rand(h, w) < density).astype(np.uint16)
+        stem = "%06d" % i
+        Image.fromarray(s["img1"]).save(
+            os.path.join(img_dir, stem + "_10.png"), compress_level=1)
+        Image.fromarray(s["img2"]).save(
+            os.path.join(img_dir, stem + "_11.png"), compress_level=1)
+        write_flow_png(os.path.join(flo_dir, stem + "_10.png"),
+                       s["flow_f"], mask=valid)
+
+
 def main(argv=None):
     import argparse
     p = argparse.ArgumentParser(description=__doc__)
@@ -243,8 +288,14 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--start", type=int, default=0,
                    help="first sample index (for parallel sharding)")
+    p.add_argument("--layout", choices=["chairs_occ", "kitti2015"],
+                   default="chairs_occ",
+                   help="kitti2015 ignores --height/--width (native sizes)")
     a = p.parse_args(argv)
-    generate_chairs_occ(a.root, a.n, a.height, a.width, a.seed, a.start)
+    if a.layout == "kitti2015":
+        generate_kitti(a.root, a.n, a.seed, a.start)
+    else:
+        generate_chairs_occ(a.root, a.n, a.height, a.width, a.seed, a.start)
     print("wrote %d samples to %s" % (a.n, a.root))
 
 

@@ -97,3 +97,31 @@ def test_generate_layout_loads_via_dataset(tmp_path):
     generate_chairs_occ(root, n=2, h=64, w=96, seed=5, start=3)
     ds2 = FlyingChairsOccFull(root=root, photometric_augmentations=False)
     assert len(ds2) == 5
+
+
+def test_generate_kitti_layout_loads_via_dataset(tmp_path):
+    """generate_kitti writes the KITTI-2015 scene-flow glob contract; the
+    loaded example round-trips the 16-bit flow encoding (1/64 px quantized)
+    and the sparse valid mask, and padded eval pads to the 64-multiple."""
+    from irr_tpu.data import KittiComb2015Full
+    from irr_tpu.data.synth import generate_kitti, make_scene
+    root = str(tmp_path / "kitti")
+    sizes = [(74, 96), (70, 88)]
+    generate_kitti(root, n=4, seed=9, sizes=sizes)
+    ds = KittiComb2015Full(root=root, photometric_augmentations=False,
+                           preprocessing_crop=False, pad_multiple=64)
+    assert len(ds) == 4
+    ex = ds[1]
+    h, w = sizes[1]
+    assert ex["input_size"] == (h, w)
+    assert ex["input1"].shape == (128, 128, 3)  # padded to 64-multiple
+    ref = make_scene(np.random.RandomState(9 * 2000003 + 1), h=h, w=w)
+    assert np.array_equal(ex["input1"][:h, :w], ref["img1"])
+    valid = ex["input_valid"][..., 0]
+    # sparse, vertically ramped validity; padding region is all-invalid
+    assert 0.1 < valid[:h, :w].mean() < 0.7
+    assert valid[:h // 4].mean() < valid[3 * h // 4: h].mean()
+    assert valid[h:].sum() == 0 and valid[:, w:].sum() == 0
+    sel = valid[:h, :w] > 0
+    err = np.abs(ex["target1"][:h, :w][sel] - ref["flow_f"][sel])
+    assert err.max() <= 1.0 / 64 + 1e-4  # 16-bit KITTI quantization

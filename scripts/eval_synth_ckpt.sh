@@ -10,15 +10,27 @@
 #                     RESULTS.md "Final evaluation")
 #
 # Usage: scripts/eval_synth_ckpt.sh <experiment_dir> [dataset_root]
+#   LAYOUT=kitti2015 evaluates on the synthetic KITTI-2015 valid split
+#   instead (sparse masked loss, epe + Fl outlier, padded native sizes).
 
 set -e
 EXP=${1:?usage: eval_synth_ckpt.sh <experiment_dir> [dataset_root]}
-ROOT=${2:-/tmp/chairs_occ_1850}
+LAYOUT=${LAYOUT:-chairs_occ}
+
+if [ "$LAYOUT" = kitti2015 ]; then
+  ROOT=${2:-/tmp/kitti2015_synth}
+  dataset=(--validation_dataset=KittiComb2015Val
+           --validation_dataset_preprocessing_crop=False
+           --validation_loss=MultiScaleEPE_PWC_Bi_Occ_upsample_KITTI)
+else
+  ROOT=${2:-/tmp/chairs_occ_1850}
+  dataset=(--validation_dataset=FlyingChairsOccValid
+           --validation_loss=MultiScaleEPE_PWC_Bi_Occ_upsample)
+fi
 
 common=(--batch_size_val=4 --compute_dtype=bfloat16
         --model=IRR_PWC --model_div_flow=0.05
-        --validation_loss=MultiScaleEPE_PWC_Bi_Occ_upsample
-        --validation_dataset=FlyingChairsOccValid
+        "${dataset[@]}"
         --validation_dataset_root="$ROOT"
         --validation_dataset_photometric_augmentations=False
         --validation_key=epe --evaluation=True --num_workers=1
@@ -31,5 +43,5 @@ for mode in exact approx grouped; do
   [ "$mode" = grouped ] && extra=(--model_grouped_towers=True)
   echo "=== mode: $mode ==="
   python main.py "${common[@]}" "${extra[@]}" --save="$EXP/eval_$mode" \
-    | grep -E "epe|F1" || true
+    | grep -E "epe|F1|outlier" || true
 done

@@ -229,6 +229,12 @@ def main():
     # mode (--model_approx_guidance); its EPE cost is measured separately
     # against trained checkpoints (scripts/eval_synth_ckpt.sh, RESULTS.md)
     approx = "--approx-guidance" in sys.argv
+    # --approx-guidance-stride N: guidance subsampling stride (default 2;
+    # 4 = 16x fewer guidance descriptors — EPE cost measured separately)
+    approx_stride = 2
+    if "--approx-guidance-stride" in sys.argv:
+        approx_stride = int(sys.argv[sys.argv.index("--approx-guidance-stride") + 1])
+        approx = True
     # --grouped-towers: time the grouped-conv flow+occ towers
     # (--model_grouped_towers); bit-exact in f32, measured EPE cost in
     # bf16 (RESULTS.md "Final evaluation")
@@ -241,7 +247,9 @@ def main():
         from irr_tpu.nn.core import set_conv_impl
         impl = sys.argv[sys.argv.index("--conv-impl") + 1]
         set_conv_impl(impl)
-    model = models.IRR_PWC(approx_guidance=approx, grouped_towers=grouped)
+    model = models.IRR_PWC(approx_guidance=approx,
+                           approx_guidance_stride=approx_stride,
+                           grouped_towers=grouped)
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)
@@ -269,7 +277,8 @@ def main():
     pairs_per_sec = BATCH * ITERS / dt
     print(json.dumps({
         "metric": "IRR-PWC eval image pairs/sec/chip @ Sintel 1024x436 (bf16)"
-                  + (" [approx_guidance]" if approx else "")
+                  + ((" [approx_guidance]" if approx_stride == 2 else
+                      f" [approx_guidance s={approx_stride}]") if approx else "")
                   + (" [grouped_towers]" if grouped else "")
                   + (f" [conv_impl={impl}]" if impl != "conv" else ""),
         "value": round(pairs_per_sec, 2),

@@ -43,14 +43,19 @@ class IRR_PWC(Module):
     """ctor mirrors the reference contract: (args, div_flow=0.05)."""
 
     def __init__(self, args=None, div_flow=0.05, approx_guidance=False,
-                 grouped_towers=False):
+                 approx_guidance_stride=2, grouped_towers=False):
         self.args = args
         self.div_flow = float(div_flow)
-        # --model_approx_guidance=True: quarter-density L5/L6 guidance
+        # --model_approx_guidance=True: reduced-density L5/L6 guidance
         # warps (ops/warp.py warp_multi approx mode). OFF by default —
-        # the default path stays reference-exact; opt in for ~4x fewer
-        # full-res gather descriptors at a small guidance-fidelity cost.
+        # the default path stays reference-exact; opt in for stride^2-fold
+        # fewer full-res gather descriptors at a small guidance-fidelity
+        # cost. --model_approx_guidance_stride picks the subsampling
+        # stride (2 = the measured zero-EPE-cost fast mode, RESULTS.md;
+        # 4 = 16x fewer descriptors, more fidelity risk at motion edges).
         self.approx_guidance = bool(approx_guidance)
+        self.approx_guidance_stride = int(approx_guidance_stride)
+        assert self.approx_guidance_stride >= 2
         # --model_grouped_towers=True: run each level's flow+occ estimator
         # and context-net pairs as feature_group_count=2 grouped convs
         # (nn/pwc.py grouped_flow_occ_stage), half the conv dispatches.
@@ -214,13 +219,15 @@ class IRR_PWC(Module):
                     x_warp, flow_warp = warp_multi(
                         [x_sw[:b], _swap(flow)[:b]], flow[:b],
                         height_im, width_im, dvf,
-                        approx=self.approx_guidance)
+                        approx=(self.approx_guidance_stride
+                                if self.approx_guidance else False))
                     x_half = x[:b]
                     fl = flow[:b]
                 else:
                     x_warp, flow_warp = warp_multi(
                         [x_sw, _swap(flow)], flow, height_im, width_im, dvf,
-                        approx=self.approx_guidance)
+                        approx=(self.approx_guidance_stride
+                                if self.approx_guidance else False))
                     x_half = x
                     fl = flow
 

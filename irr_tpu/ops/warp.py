@@ -383,21 +383,39 @@ def warp_unmasked(x: jnp.ndarray, flow: jnp.ndarray, height_im: int, width_im: i
     return grid_sample_aligned(x, ix, iy)
 
 
-def _upsample2x_even(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """Factor-2 linear reconstruction anchored at EVEN positions.
+def _upsample_even(x: jnp.ndarray, h: int, w: int, stride: int) -> jnp.ndarray:
+    """Factor-`stride` linear reconstruction anchored at sample positions.
 
-    x holds samples taken at rows/cols 0,2,4,... of an (h, w) grid; even
-    output positions reproduce them exactly, odd positions are the average
-    of their two neighbors (edge-clamped). Unlike align-corners resize,
-    the sample positions don't drift: out[2j] == x[j] bit-exactly.
+    x holds samples taken at rows/cols 0, stride, 2*stride, ... of an
+    (h, w) grid; those output positions reproduce them bit-exactly
+    (out[stride*j] == x[j] — the k=0 phase IS x, no arithmetic touches
+    it), and in-between positions are linearly interpolated between their
+    two anchors (edge-clamped). Unlike align-corners resize, the sample
+    positions don't drift with the output size.
     """
+    s = int(stride)
     b, hs, ws, c = x.shape
-    nxt = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
-    x = jnp.stack([x, (x + nxt) * jnp.asarray(0.5, x.dtype)], axis=2)
-    x = x.reshape(b, 2 * hs, ws, c)[:, :h]
-    nxt = jnp.concatenate([x[:, :, 1:], x[:, :, -1:]], axis=2)
-    x = jnp.stack([x, (x + nxt) * jnp.asarray(0.5, x.dtype)], axis=3)
-    return x.reshape(b, h, 2 * ws, c)[:, :, :w]
+
+    def _axis_up(t, n_lo, full, axis):
+        nxt = jnp.concatenate(
+            [jax.lax.slice_in_dim(t, 1, n_lo, axis=axis),
+             jax.lax.slice_in_dim(t, n_lo - 1, n_lo, axis=axis)], axis=axis)
+        phases = [t]
+        for k in range(1, s):
+            wk = jnp.asarray(k / s, t.dtype)
+            phases.append(t * (jnp.asarray(1.0, t.dtype) - wk) + nxt * wk)
+        t = jnp.stack(phases, axis=axis + 1)
+        shape = list(t.shape)
+        shape[axis:axis + 2] = [n_lo * s]
+        return jax.lax.slice_in_dim(t.reshape(shape), 0, full, axis=axis)
+
+    x = _axis_up(x, hs, h, axis=1)
+    return _axis_up(x, ws, w, axis=2)
+
+
+def _upsample2x_even(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Back-compat shim for the original fixed-stride-2 reconstruction."""
+    return _upsample_even(x, h, w, 2)
 
 
 def warp_multi(tensors, flow, height_im, width_im, div_flow,
@@ -406,13 +424,15 @@ def warp_multi(tensors, flow, height_im, width_im, div_flow,
     gather (concat on channels, sample once, split). Exact same result as
     warping each tensor separately.
 
-    approx=True: OPT-IN quarter-density mode for the full-resolution
-    guidance warps (the eval gather wall, PERF.md): the bilinear gather
-    runs only at even pixel positions (4x fewer descriptors) with the
-    EXACT full-resolution coordinates and source taps, and odd positions
-    are linearly interpolated from their warped neighbors. Exact wherever
-    the warped signal is locally linear between even pixels; differs at
-    texture/motion discontinuities. The zero-mask stays exact full-res.
+    approx: OPT-IN reduced-density mode for the full-resolution guidance
+    warps (the eval gather wall, PERF.md). `True` (back-compat) or an
+    int stride s >= 2: the bilinear gather runs only at every s-th pixel
+    position (s^2-fold fewer descriptors) with the EXACT full-resolution
+    coordinates and source taps, and skipped positions are linearly
+    interpolated from their warped neighbors. Exact wherever the warped
+    signal is locally linear between sampled pixels; differs at
+    texture/motion discontinuities (more so as s grows). The zero-mask
+    stays exact full-res.
     """
     splits = [t.shape[-1] for t in tensors]
     stacked = jnp.concatenate(tensors, axis=-1)
@@ -420,8 +440,10 @@ def warp_multi(tensors, flow, height_im, width_im, div_flow,
     ix, iy = _flow_to_coords((h, w), flow, height_im, width_im,
                              div_flow, pwc_norm=pwc_norm)
     if approx:
-        out = grid_sample_aligned(stacked, ix[:, ::2, ::2], iy[:, ::2, ::2])
-        out = _upsample2x_even(out, h, w)
+        s = 2 if approx is True else int(approx)
+        assert s >= 2, f"approx stride must be >= 2, got {s}"
+        out = grid_sample_aligned(stacked, ix[:, ::s, ::s], iy[:, ::s, ::s])
+        out = _upsample_even(out, h, w, s)
     else:
         out = grid_sample_aligned(stacked, ix, iy)
     if masked:

@@ -351,6 +351,64 @@ def test_warp_multi_approx_mode():
                                np.asarray(ex[:, ::2, ::2]), atol=1e-6)
 
 
+def test_warp_multi_approx_stride4():
+    """Generalized stride: approx=4 samples every 4th pixel, anchored
+    positions bit-exact, stride-2 path unchanged by the generalization."""
+    from irr_tpu.ops.warp import warp_multi, _upsample_even, _upsample2x_even
+
+    rng = np.random.RandomState(3)
+    # generic reconstruction: anchored positions bit-exact at stride 4,
+    # in-between positions are the edge-clamped linear interpolation
+    lo = jnp.asarray(rng.randn(2, 4, 6, 3).astype(np.float32))
+    up = _upsample_even(lo, 14, 22, 4)
+    assert up.shape == (2, 14, 22, 3)
+    np.testing.assert_array_equal(np.asarray(up[:, ::4, ::4]), np.asarray(lo))
+    lo_np = np.asarray(lo)
+    # row 2 of the output = 0.5*row0 + 0.5*row1 of the anchors (k=2 of 4)
+    np.testing.assert_allclose(np.asarray(up[:, 2, ::4]),
+                               0.5 * lo_np[:, 0] + 0.5 * lo_np[:, 1],
+                               atol=1e-6)
+    # stride-2 shim is the generic path
+    lo2 = jnp.asarray(rng.randn(1, 5, 7, 2).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(_upsample2x_even(lo2, 9, 13)),
+                                  np.asarray(_upsample_even(lo2, 9, 13, 2)))
+
+    # warp_multi approx=4: sampled positions EXACT vs the exact warp
+    h, w = 33, 49
+    flow_r = (rng.randn(1, h, w, 2) * 0.05 * 2).astype(np.float32)
+    imgr = rng.randn(1, h, w, 4).astype(np.float32)
+    ex = warp_multi([jnp.asarray(imgr)], jnp.asarray(flow_r), h, w, 0.05)[0]
+    a4 = warp_multi([jnp.asarray(imgr)], jnp.asarray(flow_r), h, w, 0.05,
+                    approx=4)[0]
+    np.testing.assert_allclose(np.asarray(a4[:, ::4, ::4]),
+                               np.asarray(ex[:, ::4, ::4]), atol=1e-6)
+    # approx=True is still stride 2 (back-compat)
+    a2 = warp_multi([jnp.asarray(imgr)], jnp.asarray(flow_r), h, w, 0.05,
+                    approx=True)[0]
+    a2i = warp_multi([jnp.asarray(imgr)], jnp.asarray(flow_r), h, w, 0.05,
+                     approx=2)[0]
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(a2i))
+
+
+def test_irr_pwc_approx_guidance_stride_flag():
+    """--model_approx_guidance_stride=4 runs end to end and stays close to
+    the exact path at random init (guidance-only perturbation)."""
+    from irr_tpu.models import IRR_PWC
+
+    m_ex = IRR_PWC(div_flow=0.05)
+    m_a4 = IRR_PWC(div_flow=0.05, approx_guidance=True,
+                   approx_guidance_stride=4)
+    params = m_ex.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(2)
+    batch = {"input1": jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32)),
+             "input2": jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))}
+    out_ex = m_ex.apply(params, batch, training=False)
+    out_a4 = m_a4.apply(params, batch, training=False)
+    assert out_a4["flow"].shape == out_ex["flow"].shape
+    np.testing.assert_allclose(np.asarray(out_a4["flow"]),
+                               np.asarray(out_ex["flow"]), atol=1e-3)
+
+
 def test_irr_pwc_approx_guidance_flag():
     """--model_approx_guidance touches only the L5/L6 guidance path: the
     model still runs and stays close to the exact path at random init."""

@@ -235,6 +235,13 @@ def main():
     if "--approx-guidance-stride" in sys.argv:
         approx_stride = int(sys.argv[sys.argv.index("--approx-guidance-stride") + 1])
         approx = True
+    # --approx-refine: also run the two L1-4 refinement guidance warps
+    # (RefineFlow image-warp error, RefineOcc feature-warp error) at the
+    # reduced density (--model_approx_refine_guidance); EPE cost measured
+    # separately on trained checkpoints (RESULTS.md)
+    approx_refine = "--approx-refine" in sys.argv
+    if approx_refine and not approx:
+        approx = True
     # --grouped-towers: time the grouped-conv flow+occ towers
     # (--model_grouped_towers); bit-exact in f32, measured EPE cost in
     # bf16 (RESULTS.md "Final evaluation")
@@ -249,6 +256,7 @@ def main():
         set_conv_impl(impl)
     model = models.IRR_PWC(approx_guidance=approx,
                            approx_guidance_stride=approx_stride,
+                           approx_refine_guidance=approx_refine,
                            grouped_towers=grouped)
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
 
@@ -279,6 +287,7 @@ def main():
         "metric": "IRR-PWC eval image pairs/sec/chip @ Sintel 1024x436 (bf16)"
                   + ((" [approx_guidance]" if approx_stride == 2 else
                       f" [approx_guidance s={approx_stride}]") if approx else "")
+                  + (" [approx_refine]" if approx_refine else "")
                   + (" [grouped_towers]" if grouped else "")
                   + (f" [conv_impl={impl}]" if impl != "conv" else ""),
         "value": round(pairs_per_sec, 2),
@@ -316,13 +325,30 @@ if __name__ == "__main__":
         metric = ("IRR-PWC eval pairs/sec/chip end-to-end through loader"
                   if with_loader else
                   "IRR-PWC eval image pairs/sec/chip @ Sintel 1024x436 (bf16)")
+        # cite the newest recorded round number so a dead tunnel at bench
+        # time still points the reader at the latest real measurement
+        last = ""
+        try:
+            import glob
+            for p in sorted(glob.glob(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_r*.json")), reverse=True):
+                with open(p) as f:
+                    rec = json.load(f)
+                rec = rec.get("parsed", rec) or {}
+                if rec.get("value"):
+                    last = "; last recorded number: %s %s %s" % (
+                        os.path.basename(p), rec["value"], rec.get("unit", ""))
+                    break
+        except Exception:
+            pass
         print(json.dumps({
             "metric": metric,
             "value": 0.0,
             "unit": "pairs/s",
             "vs_baseline": 0.0,
             "error": "accelerator unreachable at bench time (device probe "
-                     "timed out); last recorded number: BENCH_r02 27.35",
+                     "timed out)" + last,
         }))
         sys.exit(0)
     if with_loader:

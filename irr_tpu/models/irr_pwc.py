@@ -43,7 +43,8 @@ class IRR_PWC(Module):
     """ctor mirrors the reference contract: (args, div_flow=0.05)."""
 
     def __init__(self, args=None, div_flow=0.05, approx_guidance=False,
-                 approx_guidance_stride=2, grouped_towers=False):
+                 approx_guidance_stride=2, approx_refine_guidance=False,
+                 grouped_towers=False):
         self.args = args
         self.div_flow = float(div_flow)
         # --model_approx_guidance=True: reduced-density L5/L6 guidance
@@ -56,6 +57,15 @@ class IRR_PWC(Module):
         self.approx_guidance = bool(approx_guidance)
         self.approx_guidance_stride = int(approx_guidance_stride)
         assert self.approx_guidance_stride >= 2
+        # --model_approx_refine_guidance=True: apply the same reduced-
+        # density warp to the two L1-4 refinement GUIDANCE warps (the
+        # warped-image error feeding RefineFlow, IRR_PWC.py:126-138, and
+        # the warped-feature error feeding RefineOcc). These warps only
+        # steer the refinement networks — the cost-volume feature warp
+        # stays exact — but unlike the L5/L6 guidance they sit upstream
+        # of the carried flow estimate, so the EPE cost must be measured
+        # (RESULTS.md) before production use. Uses approx_guidance_stride.
+        self.approx_refine_guidance = bool(approx_refine_guidance)
         # --model_grouped_towers=True: run each level's flow+occ estimator
         # and context-net pairs as feature_group_count=2 grouped convs
         # (nn/pwc.py grouped_flow_occ_stage), half the conv dispatches.
@@ -168,8 +178,15 @@ class IRR_PWC(Module):
                 # actual torch model in tests/test_fidelity.py.
                 img_resize = upsample2d_as(raw, flow)
                 flow_cont = rescale_flow(flow_cont, dvf, width_im, height_im, False)
-                img_warp = warp_masked(_swap(img_resize), flow_cont,
-                                       height_im, width_im, dvf)
+                _refine_approx = (self.approx_guidance_stride
+                                  if self.approx_refine_guidance else False)
+                if _refine_approx:
+                    img_warp, = warp_multi([_swap(img_resize)], flow_cont,
+                                           height_im, width_im, dvf,
+                                           approx=_refine_approx)
+                else:
+                    img_warp = warp_masked(_swap(img_resize), flow_cont,
+                                           height_im, width_im, dvf)
                 flow_ref = self.refine_flow(
                     params["refine_flow"], jax.lax.stop_gradient(flow_cont),
                     img_resize - img_warp, x_1by1)
@@ -177,7 +194,13 @@ class IRR_PWC(Module):
                 flow_cont = rescale_flow(flow_cont, dvf, width_im, height_im, False)
                 flow_ref = rescale_flow(flow_ref, dvf, width_im, height_im, False)
 
-                x_1by1_warp = warp_masked(_swap(x_1by1), flow_ref, height_im, width_im, dvf)
+                if _refine_approx:
+                    x_1by1_warp, = warp_multi([_swap(x_1by1)], flow_ref,
+                                              height_im, width_im, dvf,
+                                              approx=_refine_approx)
+                else:
+                    x_1by1_warp = warp_masked(_swap(x_1by1), flow_ref,
+                                              height_im, width_im, dvf)
                 occ_ref = self.refine_occ(
                     params["refine_occ"], jax.lax.stop_gradient(occ_cont),
                     x_1by1, x_1by1 - x_1by1_warp)

@@ -8,6 +8,11 @@
 #   grouped_towers  - grouped-conv towers (bit-exact in f32; in bf16 the
 #                     different accumulation order costs measured EPE —
 #                     RESULTS.md "Final evaluation")
+# MODES="exact approx4 approx_refine ..." overrides the mode list:
+#   approx4       - stride-4 guidance (16x fewer L5/L6 descriptors)
+#   approx_refine - stride-2 guidance PLUS reduced-density L1-4
+#                   refinement guidance warps (RefineFlow/RefineOcc error
+#                   inputs; these sit upstream of the carried flow)
 #
 # Usage: scripts/eval_synth_ckpt.sh <experiment_dir> [dataset_root]
 #   LAYOUT=kitti2015 evaluates on the synthetic KITTI-2015 valid split
@@ -37,9 +42,14 @@ common=(--batch_size_val=4 --compute_dtype=bfloat16
         --data_parallel_devices=1
         --checkpoint="$EXP" --checkpoint_mode=resume_from_best)
 
-for mode in exact approx grouped; do
+MODES=${MODES:-"exact approx grouped"}
+for mode in $MODES; do
   extra=()
   [ "$mode" = approx ] && extra=(--model_approx_guidance=True)
+  [ "$mode" = approx4 ] && extra=(--model_approx_guidance=True
+                                  --model_approx_guidance_stride=4)
+  [ "$mode" = approx_refine ] && extra=(--model_approx_guidance=True
+                                        --model_approx_refine_guidance=True)
   [ "$mode" = grouped ] && extra=(--model_grouped_towers=True)
   echo "=== mode: $mode ==="
   python main.py "${common[@]}" "${extra[@]}" --save="$EXP/eval_$mode" \

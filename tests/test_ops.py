@@ -429,3 +429,33 @@ def test_irr_pwc_approx_guidance_flag():
     assert np.isfinite(d)
     np.testing.assert_allclose(np.asarray(out_ap["flow"]),
                                np.asarray(out_ex["flow"]), atol=1e-4)
+
+
+def test_irr_pwc_approx_refine_guidance_flag():
+    """--model_approx_refine_guidance extends the reduced-density warp to
+    the two L1-4 refinement guidance warps (RefineFlow image-warp error,
+    RefineOcc feature-warp error; reference IRR_PWC.py:126-138). Unlike
+    the L5/L6 guidance these sit upstream of the carried flow estimate,
+    so the tolerance is looser; shapes/finite-ness and closeness at
+    random init are the contract here, EPE cost is measured on trained
+    checkpoints (RESULTS.md)."""
+    from irr_tpu.models import IRR_PWC
+
+    m_ex = IRR_PWC(div_flow=0.05)
+    m_ar = IRR_PWC(div_flow=0.05, approx_guidance=True,
+                   approx_refine_guidance=True)
+    params = m_ex.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    batch = {"input1": jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32)),
+             "input2": jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))}
+    out_ex = m_ex.apply(params, batch, training=False)
+    out_ar = m_ar.apply(params, batch, training=False)
+    assert out_ar["flow"].shape == out_ex["flow"].shape
+    assert np.isfinite(np.asarray(out_ar["flow"])).all()
+    assert np.isfinite(np.asarray(out_ar["occ"])).all()
+    np.testing.assert_allclose(np.asarray(out_ar["flow"]),
+                               np.asarray(out_ex["flow"]), atol=5e-3)
+    # the flag must also reach the CLI via ctor reflection
+    import inspect
+    assert "approx_refine_guidance" in inspect.signature(
+        IRR_PWC.__init__).parameters

@@ -13,6 +13,12 @@ that band (generous to the reference). vs_baseline = value / 20.0.
 
 Runs eval-mode forward (the metric's setting) with bf16 conv compute
 (f32 accumulation), batched to fill the chip, on the one real TPU.
+
+Default mode = the PRODUCTION serving configuration (approx_guidance
+stride 2: measured zero EPE / −0.0005 F1 on trained checkpoints,
+RESULTS.md "Final evaluation"); the metric string carries the
+`[approx_guidance]` label. `--exact` times the reference-exact parity
+path (27.5 pairs/s, the number reported through round 4).
 """
 
 import json
@@ -217,18 +223,15 @@ def _enable_compile_cache(jax):
             pass
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    from irr_tpu import models
-    from irr_tpu.nn.core import set_compute_dtype
-
-    _enable_compile_cache(jax)
-    set_compute_dtype(jnp.bfloat16)
-    # --approx-guidance: time the opt-in quarter-density guidance-warp
-    # mode (--model_approx_guidance); its EPE cost is measured separately
-    # against trained checkpoints (scripts/eval_synth_ckpt.sh, RESULTS.md)
-    approx = "--approx-guidance" in sys.argv
+def _parse_modes():
+    """Parse the perf-mode flags from sys.argv (shared by the live bench
+    and the dead-tunnel fallback so both build the SAME metric string)."""
+    # DEFAULT = the production serving configuration: approx_guidance
+    # stride 2, the measured zero-EPE / −0.0005-F1 fast mode (RESULTS.md
+    # "Final evaluation", PERF.md "Round 5: the approx-density ladder").
+    # --exact times the reference-exact parity path instead;
+    # --approx-guidance is accepted for compatibility (now the default).
+    approx = "--exact" not in sys.argv
     # --approx-guidance-stride N: guidance subsampling stride (default 2;
     # 4 = 16x fewer guidance descriptors — EPE cost measured separately)
     approx_stride = 2
@@ -251,8 +254,29 @@ def main():
     # (nn.core.set_conv_impl) — same multiply-add set as the XLA conv path
     impl = "conv"
     if "--conv-impl" in sys.argv:
-        from irr_tpu.nn.core import set_conv_impl
         impl = sys.argv[sys.argv.index("--conv-impl") + 1]
+    return approx, approx_stride, approx_refine, grouped, impl
+
+
+def _mode_suffix(approx, approx_stride, approx_refine, grouped, impl):
+    return ((" [approx_guidance]" if approx_stride == 2 else
+             f" [approx_guidance s={approx_stride}]") if approx else "") \
+        + (" [approx_refine]" if approx_refine else "") \
+        + (" [grouped_towers]" if grouped else "") \
+        + (f" [conv_impl={impl}]" if impl != "conv" else "")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from irr_tpu import models
+    from irr_tpu.nn.core import set_compute_dtype
+
+    _enable_compile_cache(jax)
+    set_compute_dtype(jnp.bfloat16)
+    approx, approx_stride, approx_refine, grouped, impl = _parse_modes()
+    if impl != "conv":
+        from irr_tpu.nn.core import set_conv_impl
         set_conv_impl(impl)
     model = models.IRR_PWC(approx_guidance=approx,
                            approx_guidance_stride=approx_stride,
@@ -285,11 +309,8 @@ def main():
     pairs_per_sec = BATCH * ITERS / dt
     print(json.dumps({
         "metric": "IRR-PWC eval image pairs/sec/chip @ Sintel 1024x436 (bf16)"
-                  + ((" [approx_guidance]" if approx_stride == 2 else
-                      f" [approx_guidance s={approx_stride}]") if approx else "")
-                  + (" [approx_refine]" if approx_refine else "")
-                  + (" [grouped_towers]" if grouped else "")
-                  + (f" [conv_impl={impl}]" if impl != "conv" else ""),
+                  + _mode_suffix(approx, approx_stride, approx_refine,
+                                 grouped, impl),
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_A100_PAIRS_PER_SEC, 3),
@@ -324,19 +345,28 @@ if __name__ == "__main__":
     if not _device_reachable():
         metric = ("IRR-PWC eval pairs/sec/chip end-to-end through loader"
                   if with_loader else
-                  "IRR-PWC eval image pairs/sec/chip @ Sintel 1024x436 (bf16)")
-        # cite the newest recorded round number so a dead tunnel at bench
-        # time still points the reader at the latest real measurement
+                  "IRR-PWC eval image pairs/sec/chip @ Sintel 1024x436 (bf16)"
+                  + _mode_suffix(*_parse_modes()))
+        # cite the newest recorded round whose metric string matches the
+        # current mode (so an --approx-refine bench never cites an
+        # exact-mode number); sort by PARSED round number, not
+        # lexicographically (r100 must beat r99 despite 2-digit padding)
         last = ""
         try:
             import glob
+            import re
+
+            def _round_no(path):
+                m = re.search(r"BENCH_r(\d+)\.json$", path)
+                return int(m.group(1)) if m else -1
+
             for p in sorted(glob.glob(os.path.join(
                     os.path.dirname(os.path.abspath(__file__)),
-                    "BENCH_r*.json")), reverse=True):
+                    "BENCH_r*.json")), key=_round_no, reverse=True):
                 with open(p) as f:
                     rec = json.load(f)
                 rec = rec.get("parsed", rec) or {}
-                if rec.get("value"):
+                if rec.get("value") and rec.get("metric", "") == metric:
                     last = "; last recorded number: %s %s %s" % (
                         os.path.basename(p), rec["value"], rec.get("unit", ""))
                     break

@@ -1,4 +1,4 @@
-"""Data layer: readers, transforms, datasets (36 registry names), loader."""
+"""Data layer: readers, transforms, datasets (all 32 reference registry names), loader."""
 
 from . import common
 from . import transforms

@@ -1,6 +1,6 @@
 """Dataset classes (host-side, numpy HWC examples).
 
-All 36 registry names of the reference (datasets/__init__.py:1-55) with the
+All 32 registry names of the reference (datasets/__init__.py:1-55) with the
 same example_dict contract — keys input1/input2 (float32 [0,1]),
 target1/target2 (flow), target_occ1/target_occ2, input_valid (KITTI),
 index, basename, basedir (Sintel) — except layout: images/flows are HWC

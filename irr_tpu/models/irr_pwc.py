@@ -178,8 +178,15 @@ class IRR_PWC(Module):
                 # actual torch model in tests/test_fidelity.py.
                 img_resize = upsample2d_as(raw, flow)
                 flow_cont = rescale_flow(flow_cont, dvf, width_im, height_im, False)
+                # Eval-only: the refine guidance warps carry gradients into
+                # flow_cont (only the direct refine input is stop_gradient'ed,
+                # matching the reference detach at IRR_PWC.py:132,141), so
+                # enabling the approximation during training would silently
+                # change gradient paths. The flag is a measurement/serving
+                # knob; training always uses the exact warps.
                 _refine_approx = (self.approx_guidance_stride
-                                  if self.approx_refine_guidance else False)
+                                  if (self.approx_refine_guidance
+                                      and not training) else False)
                 if _refine_approx:
                     img_warp, = warp_multi([_swap(img_resize)], flow_cont,
                                            height_im, width_im, dvf,

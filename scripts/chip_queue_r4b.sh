@@ -3,7 +3,8 @@
 # (stride-4 L5/L6 guidance; reduced-density L1-4 refine guidance) for
 # throughput AND EPE/F1 cost on the trained stage-1 checkpoint.
 # Serializes all chip work; logs to /tmp/chip_queue_r4b.log.
-set -x
+set -xe
+exec >>/tmp/chip_queue_r4b.log 2>&1
 cd "$(dirname "$0")/.."
 
 echo "=== bench exact (re-confirm) ==="

@@ -1,0 +1,88 @@
+"""Dryrun compile-cache manifest check (VERDICT r4 weak #7 / next #8).
+
+The driver's multi-chip dryrun only finishes inside its time window
+because the repo ships pre-warmed XLA executables in `.dryrun_xla_cache/`
+(cold compile of the full IRR_PWC train step is ~6 min on one CPU core —
+MULTICHIP_r03 timed out on exactly this). That made "re-run
+scripts/prewarm_dryrun_cache.sh and force-add the new entries whenever a
+jitted graph changes" a human invariant with no enforcement.
+
+This test IS the enforcement: it replays the driver's exact invocation
+(8 virtual CPU devices) against the committed cache reduced to ONLY the
+git-TRACKED entries — i.e. what a clean checkout would have — and fails
+if the run writes any new cache entry (= some current graph would
+compile cold for the driver). It catches both failure modes:
+  * a graph-touching change without a prewarm (new key, no entry), and
+  * a prewarm whose new entry was never `git add -f`-ed (entry exists
+    on disk but not in git, so a clean checkout still misses).
+
+Measured subtlety that shapes the design: the XLA persistent-cache key
+HASHES THE CACHE-DIR PATH ITSELF (same program, two cache dirs -> two
+different keys; verified empirically on this jax), so the clean-checkout
+simulation cannot copy entries into a temp dir — it must run against the
+real `.dryrun_xla_cache` path with untracked residue (e.g. the driver's
+own single-chip entry()-check entries) set aside and restored afterwards.
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE = os.path.join(REPO, ".dryrun_xla_cache")
+
+
+def test_dryrun_cache_is_warm_from_git_tracked_entries(tmp_path):
+    tracked = {
+        os.path.basename(p)
+        for p in subprocess.run(
+            ["git", "ls-files", ".dryrun_xla_cache"],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.split()
+    }
+    assert tracked, (
+        "no git-tracked .dryrun_xla_cache entries at all — the driver's "
+        "dryrun would compile everything cold; run "
+        "`bash scripts/prewarm_dryrun_cache.sh 8` and "
+        "`git add -f .dryrun_xla_cache/<entries>`")
+
+    # Clean-checkout simulation AT THE REAL PATH (the cache key hashes the
+    # cache-dir path, so a temp-dir copy would never hit): set aside any
+    # untracked residue, restore it afterwards.
+    aside = tmp_path / "aside"
+    aside.mkdir()
+    untracked = [f for f in os.listdir(CACHE) if f not in tracked]
+    for f in untracked:
+        shutil.move(os.path.join(CACHE, f), aside / f)
+    try:
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        })
+        env.pop("IRR_TPU_COMPILE_CACHE", None)  # default = real dir
+        # Warm run is ~70-110 s on this host; a cold compile of the train
+        # step alone exceeds 300 s, so the timeout doubles as a detector.
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "from __graft_entry__ import dryrun_multichip; "
+             "dryrun_multichip(8)"],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=560,
+        )
+        assert proc.returncode == 0, (
+            "dryrun_multichip(8) failed:\n%s\n%s" % (proc.stdout[-2000:],
+                                                     proc.stderr[-2000:]))
+
+        new = sorted(set(os.listdir(CACHE)) - tracked)
+        assert not new, (
+            "the dryrun wrote NEW compile-cache entries %s — a jitted graph "
+            "changed since the committed prewarm, so the driver's dryrun on "
+            "a clean checkout would compile cold (timeout risk). Fix: "
+            "`bash scripts/prewarm_dryrun_cache.sh 8`, then `git add -f` "
+            "the new .dryrun_xla_cache entries and `git rm --cached` stale "
+            "ones." % new)
+    finally:
+        for f in untracked:
+            if not os.path.exists(os.path.join(CACHE, f)):
+                shutil.move(str(aside / f), os.path.join(CACHE, f))

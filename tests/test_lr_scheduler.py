@@ -161,3 +161,40 @@ def test_resolve_stage_start_epoch(tmp_path):
                                   checkpoint_mode="resume_from_latest",
                                   checkpoint_resume_optimizer=False)
     assert resolve_stage_start_epoch(fresh) == 1
+
+
+def test_warn_unreachable_milestones(caplog):
+    """The stage-2 r4 silent no-op (milestone [36] in a stage covering
+    epochs 31-40 with stage-relative counting) must produce a loud
+    configure-time warning; reachable milestones must stay silent."""
+    import logging
+    import types
+    from irr_tpu.config import warn_unreachable_milestones
+    from irr_tpu.lr_scheduler import MultiStepLR
+
+    # the r4 miss: stage epochs 31..40, milestone written absolute
+    args = types.SimpleNamespace(start_epoch=31, total_epochs=40,
+                                 checkpoint=None)
+    sched = MultiStepLR(milestones=[36], gamma=0.5)
+    with caplog.at_level(logging.WARNING):
+        bad = warn_unreachable_milestones(args, sched)
+    assert bad == [36]
+    assert any("NEVER fire" in r.message for r in caplog.records)
+    assert any("NEVER DECAY" in r.getMessage() for r in caplog.records)
+
+    # correctly stage-relative milestone [5]: silent
+    caplog.clear()
+    sched_ok = MultiStepLR(milestones=[5], gamma=0.5)
+    with caplog.at_level(logging.WARNING):
+        assert warn_unreachable_milestones(args, sched_ok) == []
+    assert not caplog.records
+
+    # mixed: only the unreachable one is reported, softer wording
+    caplog.clear()
+    sched_mix = MultiStepLR(milestones=[5, 36], gamma=0.5)
+    with caplog.at_level(logging.WARNING):
+        assert warn_unreachable_milestones(args, sched_mix) == [36]
+
+    # schedulers without milestones (e.g. StepLR) are a no-op
+    from irr_tpu.lr_scheduler import StepLR
+    assert warn_unreachable_milestones(args, StepLR(step_size=3)) == []

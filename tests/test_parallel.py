@@ -200,3 +200,94 @@ def test_train_step_skips_nonfinite_update():
         for a, b in zip(jax.tree_util.tree_leaves(state0.params),
                         jax.tree_util.tree_leaves(state2.params)))
     assert changed
+
+
+def test_full_epoch_pipeline_device_count_invariant(tmp_path):
+    """Device-count invariance of the WHOLE pipeline, not just one step
+    (VERDICT r4 next #5): the same tiny run through main() — resident
+    gather, on-device photometric + affine aug RNG chain, jitted train
+    steps, mid-epoch checkpoints, host-loader validation, best-ckpt
+    selection — must produce the same per-epoch metric trajectory and the
+    same final weights on 1 device and on the 8-device mesh. This pins
+    the class of bugs a one-step equality can't see: per-device aug key
+    splitting, loader/resident index order under sharding, metric
+    all-reduce scaling, checkpoint timing."""
+    import json
+
+    from unittest import mock
+
+    import main as main_module
+    from tests.test_data import _make_chairs_occ
+    from irr_tpu.runtime.checkpoint import CheckpointSaver
+
+    root = str(tmp_path / "chairs")
+    os.makedirs(root)
+    _make_chairs_occ(root, n=16)
+
+    def run(n_devices, save):
+        traj = []
+        orig = CheckpointSaver.save_latest
+
+        def spy(self, *a, **kw):
+            sd = kw.get("stats_dict") or {}
+            traj.append({"phase": sd.get("phase"),
+                         "epoch": sd.get("epoch"),
+                         "epe": sd.get("epe"),
+                         "total_loss": sd.get("total_loss")})
+            return orig(self, *a, **kw)
+
+        argv = [
+            "--batch_size=8", "--batch_size_val=8",
+            "--model=FlowNet1S",
+            "--training_loss=MultiScaleEPE_FlowNet",
+            "--validation_loss=MultiScaleEPE_FlowNet",
+            "--optimizer=Adam", "--optimizer_lr=1e-4",
+            "--total_epochs=2", "--seed=42",
+            "--training_dataset=FlyingChairsOccFull",
+            f"--training_dataset_root={root}",
+            "--training_dataset_photometric_augmentations=True",
+            "--training_augmentation=RandomAffineFlowOcc",
+            "--validation_dataset=FlyingChairsOccFull",
+            f"--validation_dataset_root={root}",
+            "--validation_dataset_photometric_augmentations=False",
+            "--validation_key=epe",
+            "--num_workers=1",
+            f"--data_parallel_devices={n_devices}",
+            "--dataset_resident=True",
+            "--save_every_batches=1",
+            f"--save={save}",
+        ]
+        with mock.patch.object(CheckpointSaver, "save_latest", spy):
+            best = main_module.main(argv)
+        with np.load(os.path.join(save, "checkpoint_latest.ckpt"),
+                     allow_pickle=False) as z:
+            final = {k: z[k] for k in z.files}
+        return best, traj, final
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+
+    best1, traj1, final1 = run(1, str(tmp_path / "run1"))
+    best8, traj8, final8 = run(8, str(tmp_path / "run8"))
+
+    # identical checkpoint cadence: mid-epoch saves fired, phases line up
+    assert [t["phase"] for t in traj1] == [t["phase"] for t in traj8]
+    assert "mid_epoch" in [t["phase"] for t in traj1]
+    assert [t["phase"] for t in traj1].count("validated") == 2
+
+    # the per-epoch metric trajectory matches (ulp-level GSPMD reorderings
+    # accumulate over 2 epochs x 2 steps -> tolerant, not bitwise)
+    for t1, t8 in zip(traj1, traj8):
+        assert t1["epoch"] == t8["epoch"]
+        for k in ("epe", "total_loss"):
+            if t1[k] is not None or t8[k] is not None:
+                np.testing.assert_allclose(t1[k], t8[k], rtol=2e-4,
+                                           err_msg=f"{k} @ {t1}")
+    np.testing.assert_allclose(best1, best8, rtol=2e-4)
+
+    # and so do the final weights
+    assert set(final1) == set(final8)
+    for k in final1:
+        if final1[k].dtype.kind == "f":
+            np.testing.assert_allclose(final1[k], final8[k], atol=2e-4,
+                                       err_msg=k)

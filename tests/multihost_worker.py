@@ -73,6 +73,18 @@ def run(process_id: int, port: str, outdir: str, data_root: str):
     batch = {k: v for k, v in local_batches[0].items()
              if isinstance(v, np.ndarray) and v.dtype != np.int32}
     gbatch = global_batch_from_local(batch, mesh)
+
+    # Pre-sync through the COORDINATION service (gRPC, long timeout)
+    # before the first gloo collective: gloo's context init gives the
+    # peer only ~30 s to show up at the rendezvous, and on this 1-core
+    # host import/compile skew between the two workers can exceed that
+    # under load (measured: DEADLINE_EXCEEDED GetKeyValue flakes when
+    # the suite runs alongside another heavy job). The barrier aligns
+    # both processes to within milliseconds at the collective.
+    from jax._src import distributed
+    distributed.global_state.client.wait_at_barrier(
+        "irr_tpu_multihost_presync", timeout_in_ms=600_000)
+
     state1, loss_dict = step(state, gbatch)
 
     # Updated params/losses are fully replicated -> every process holds the

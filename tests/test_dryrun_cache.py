@@ -75,6 +75,12 @@ def test_dryrun_cache_is_warm_from_git_tracked_entries(tmp_path):
                                                      proc.stderr[-2000:]))
 
         new = sorted(set(os.listdir(CACHE)) - tracked)
+        # jit__multi_slice is JAX-INTERNAL (jax/_src/array.py: the helper
+        # that slices a host array into shards for make_array_from_*), not
+        # one of our graphs; its cache key is hash-seed dependent (two
+        # variants observed, both committed) and a cold compile of it is
+        # <1 s — no timeout risk, so a fresh variant is not a failure.
+        new = [f for f in new if not f.startswith("jit__multi_slice")]
         assert not new, (
             "the dryrun wrote NEW compile-cache entries %s — a jitted graph "
             "changed since the committed prewarm, so the driver's dryrun on "

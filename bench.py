@@ -307,14 +307,39 @@ def main():
     dt = time.perf_counter() - t0
 
     pairs_per_sec = BATCH * ITERS / dt
-    print(json.dumps({
+    rec = {
         "metric": "IRR-PWC eval image pairs/sec/chip @ Sintel 1024x436 (bf16)"
                   + _mode_suffix(approx, approx_stride, approx_refine,
                                  grouped, impl),
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_A100_PAIRS_PER_SEC, 3),
-    }))
+    }
+    print(json.dumps(rec))
+    _record_local(rec)
+
+
+def _record_local(rec):
+    """Keep the latest LIVE measurement per metric string in
+    BENCH_LOCAL.json so the dead-tunnel fallback can cite a matching-mode
+    number even when no driver BENCH_r*.json exists for that mode yet
+    (e.g. right after a bench default-mode change)."""
+    import datetime
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_LOCAL.json")
+    try:
+        with open(path) as f:
+            book = json.load(f)
+    except Exception:
+        book = {}
+    book[rec["metric"]] = dict(
+        rec, ts=datetime.datetime.now(datetime.timezone.utc
+                                      ).strftime("%Y-%m-%dT%H:%MZ"))
+    try:
+        with open(path, "w") as f:
+            json.dump(book, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
 
 
 def _device_reachable(timeout=480):
@@ -370,6 +395,18 @@ if __name__ == "__main__":
                     last = "; last recorded number: %s %s %s" % (
                         os.path.basename(p), rec["value"], rec.get("unit", ""))
                     break
+            if not last:
+                # no driver round record for this mode — cite the latest
+                # LIVE same-metric measurement this repo made itself
+                with open(os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_LOCAL.json")) as f:
+                    loc = json.load(f).get(metric) or {}
+                if loc.get("value"):
+                    last = ("; last recorded number: BENCH_LOCAL.json "
+                            "%s %s (live %s)" % (loc["value"],
+                                                 loc.get("unit", ""),
+                                                 loc.get("ts", "?")))
         except Exception:
             pass
         print(json.dumps({

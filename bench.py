@@ -159,7 +159,7 @@ def run_with_loader():
     bytes_per_pair = sum(
         np.dtype(d).itemsize * H * W * c
         for d, c in (("uint8", 3), ("uint8", 3), ("float32", 2), ("uint8", 1)))
-    print(json.dumps({
+    rec = {
         "metric": "IRR-PWC eval pairs/sec/chip end-to-end through loader "
                   "@ Sintel 1024x436 (bf16)",
         "value": round(pairs_per_sec, 2),
@@ -171,7 +171,9 @@ def run_with_loader():
                 "production host (>=10 GB/s) end-to-end is "
                 "min(host decode, device) - see PERF.md 'The tunnel "
                 "H2D wall'",
-    }))
+    }
+    print(json.dumps(rec))
+    _record_local(rec)
 
 
 def run_loader_only():
@@ -237,14 +239,17 @@ def _parse_modes():
     approx_stride = 2
     if "--approx-guidance-stride" in sys.argv:
         approx_stride = int(sys.argv[sys.argv.index("--approx-guidance-stride") + 1])
-        approx = True
+        if not approx:
+            sys.exit("--exact conflicts with --approx-guidance-stride "
+                     "(the stride IS an approx-guidance parameter)")
     # --approx-refine: also run the two L1-4 refinement guidance warps
     # (RefineFlow image-warp error, RefineOcc feature-warp error) at the
     # reduced density (--model_approx_refine_guidance); EPE cost measured
     # separately on trained checkpoints (RESULTS.md)
     approx_refine = "--approx-refine" in sys.argv
     if approx_refine and not approx:
-        approx = True
+        sys.exit("--exact conflicts with --approx-refine (the refine "
+                 "reduction runs on top of approx guidance)")
     # --grouped-towers: time the grouped-conv flow+occ towers
     # (--model_grouped_towers); bit-exact in f32, measured EPE cost in
     # bf16 (RESULTS.md "Final evaluation")
@@ -366,9 +371,11 @@ if __name__ == "__main__":
     if "--loader-only" in sys.argv:
         run_loader_only()  # host-only: needs no device
         sys.exit(0)
+    _parse_modes()  # flag-conflict errors fire BEFORE the slow device probe
     with_loader = "--with-loader" in sys.argv
     if not _device_reachable():
-        metric = ("IRR-PWC eval pairs/sec/chip end-to-end through loader"
+        metric = ("IRR-PWC eval pairs/sec/chip end-to-end through loader "
+                  "@ Sintel 1024x436 (bf16)"
                   if with_loader else
                   "IRR-PWC eval image pairs/sec/chip @ Sintel 1024x436 (bf16)"
                   + _mode_suffix(*_parse_modes()))

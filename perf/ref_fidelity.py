@@ -17,11 +17,14 @@ to the reference's pretrained-LFS-checkpoint parity check (§7.9), and it
 is ``irr_tpu.convert``'s first exercise on a REAL trained torch
 checkpoint rather than a synthesized key set.
 
-Torch-side shim (training only): the reference's ``rescale_flow``
+Torch-side shim (training AND eval): the reference's ``rescale_flow``
 (pwc_modules.py:70-82) does ``u *= scale`` on views of ``chunk()``, which
-modern torch autograd rejects; we patch in the out-of-place equivalent
-(same math, bit-identical forward) for the training run. Eval uses the
-reference code path untouched.
+modern torch autograd rejects outright; ``_import_reference`` patches in
+a whole-tensor in-place ``mul_`` replica — same math, same in-place
+mutation side effect (which IS load-bearing: see the function's
+docstring), autograd-legal. The torch eval forward therefore also runs
+through this replica; "unpatched" in this module's comparisons refers to
+the warp MASK (no analytic-mask substitution), not to rescale_flow.
 
 Usage:
     python perf/ref_fidelity.py --steps 150 --out /tmp/ref_fid
@@ -322,6 +325,9 @@ def main(argv=None):
     if a.threads:
         torch.set_num_threads(a.threads)
 
+    if a.compare_only and not a.resume:
+        p.error("--compare-only needs --resume <state_dict.npz> to know "
+                "which checkpoint to compare")
     init_sd = dict(np.load(a.resume)) if a.resume else None
     if a.compare_only:
         sd, curve, train_s = init_sd, [1.0, 1.0], 0.0

@@ -24,7 +24,8 @@ done
 echo "[q2] tunnel up at $(date -u)"
 
 echo "[q2] === 1. bench grouped-towers ==="
-timeout 1800 python bench.py --grouped-towers 2>&1 | tail -3
+# --exact: keep comparability with the recorded grouped-towers series
+timeout 1800 python bench.py --exact --grouped-towers 2>&1 | tail -3
 
 echo "[q2] === 2. tower codegen (micro_towers3) ==="
 timeout 1800 python perf/micro_towers3.py 2>&1 | tail -12

@@ -8,7 +8,8 @@ exec >>/tmp/chip_queue_r4b.log 2>&1
 cd "$(dirname "$0")/.."
 
 echo "=== bench exact (re-confirm) ==="
-timeout 900 python bench.py
+# bench.py defaults to the production approx mode since r5 — exact needs the flag
+timeout 900 python bench.py --exact
 echo "=== bench approx stride 4 ==="
 timeout 900 python bench.py --approx-guidance-stride 4
 echo "=== bench approx refine (stride 2 + refine warps) ==="
@@ -16,24 +17,7 @@ timeout 900 python bench.py --approx-refine
 
 ROOT=/tmp/chairs_occ_synth
 SUB=/tmp/chairs_occ_1850
-if [ ! -f "$ROOT/02200_img2.png" ]; then
-  echo "regenerating synthetic ChairsOcc scenes (seed 0, bit-identical) ..."
-  python -m irr_tpu.data.synth --root="$ROOT" --n=2200 --seed=0
-fi
-if [ ! -e "$SUB/01850_occ2.png" ]; then
-  mkdir -p "$SUB"
-  python - "$ROOT" "$SUB" <<'EOF'
-import os, sys
-root, sub = sys.argv[1], sys.argv[2]
-for i in range(1, 1851):
-    for suf in ("img1.png", "img2.png", "occ1.png", "occ2.png",
-                "flow.flo", "flow_b.flo"):
-        src = os.path.join(root, "%05d_%s" % (i, suf))
-        dst = os.path.join(sub, "%05d_%s" % (i, suf))
-        if not os.path.lexists(dst):
-            os.symlink(src, dst)
-EOF
-fi
+ROOT="$ROOT" SUB="$SUB" bash scripts/ensure_synth_data.sh
 
 echo "=== eval approx4 + approx_refine on stage-1 best ==="
 MODES="approx4 approx_refine" timeout 2400 \

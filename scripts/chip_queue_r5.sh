@@ -34,23 +34,7 @@ ROOT=/tmp/chairs_occ_synth
 SUB=/tmp/chairs_occ_1850
 CACHE=/tmp/synth_decode_cache_fn1s
 SAVE=experiments/flownet1s_irr_occ_bi_r5
-if [ ! -f "$ROOT/02200_img2.png" ]; then
-  python -m irr_tpu.data.synth --root="$ROOT" --n=2200 --seed=0
-fi
-if [ ! -e "$SUB/01850_occ2.png" ]; then
-  mkdir -p "$SUB"
-  python - "$ROOT" "$SUB" <<'EOF'
-import os, sys
-root, sub = sys.argv[1], sys.argv[2]
-for i in range(1, 1851):
-    for suf in ("img1.png", "img2.png", "occ1.png", "occ2.png",
-                "flow.flo", "flow_b.flo"):
-        src = os.path.join(root, "%05d_%s" % (i, suf))
-        dst = os.path.join(sub, "%05d_%s" % (i, suf))
-        if not os.path.lexists(dst):
-            os.symlink(src, dst)
-EOF
-fi
+ROOT="$ROOT" SUB="$SUB" bash scripts/ensure_synth_data.sh
 timeout 7200 python main.py \
   --batch_size=4 --batch_size_val=4 \
   --compute_dtype=bfloat16 \

@@ -41,13 +41,14 @@ echo "[queue] === 2. padded-eval NaN witness (TPU) ==="
 timeout 1200 python perf/repro_f1_nan.py --pad "$EXP" 2>&1 | tail -6
 
 echo "[queue] === 3. bench exact ==="
-timeout 1800 python bench.py 2>&1 | tail -3
+# bench.py defaults to the production approx mode since r5 — exact needs the flag
+timeout 1800 python bench.py --exact 2>&1 | tail -3
 
 echo "[queue] === 4. bench approx-guidance ==="
 timeout 1800 python bench.py --approx-guidance 2>&1 | tail -3
 
 echo "[queue] === 5. bench grouped-towers ==="
-timeout 1800 python bench.py --grouped-towers 2>&1 | tail -3
+timeout 1800 python bench.py --exact --grouped-towers 2>&1 | tail -3
 
 echo "[queue] === 6. convergence gate (real chip) ==="
 IRR_TPU_SLOW_TESTS=1 IRR_TPU_TEST_ON_TPU=1 \

@@ -64,12 +64,22 @@ def test_dryrun_cache_is_warm_from_git_tracked_entries(tmp_path):
         env.pop("IRR_TPU_COMPILE_CACHE", None)  # default = real dir
         # Warm run is ~70-110 s on this host; a cold compile of the train
         # step alone exceeds 300 s, so the timeout doubles as a detector.
-        proc = subprocess.run(
-            [sys.executable, "-c",
-             "from __graft_entry__ import dryrun_multichip; "
-             "dryrun_multichip(8)"],
-            cwd=REPO, env=env, capture_output=True, text=True, timeout=560,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "from __graft_entry__ import dryrun_multichip; "
+                 "dryrun_multichip(8)"],
+                cwd=REPO, env=env, capture_output=True, text=True,
+                timeout=560,
+            )
+        except subprocess.TimeoutExpired as e:
+            raise AssertionError(
+                "dryrun_multichip(8) exceeded 560 s against the git-tracked "
+                "cache — a jitted graph is compiling COLD (or the host is "
+                "heavily contended). If a graph changed: run "
+                "`bash scripts/prewarm_dryrun_cache.sh 8`, `git add -f` the "
+                "new .dryrun_xla_cache entries, `git rm --cached` stale "
+                "ones.") from e
         assert proc.returncode == 0, (
             "dryrun_multichip(8) failed:\n%s\n%s" % (proc.stdout[-2000:],
                                                      proc.stderr[-2000:]))

@@ -473,6 +473,10 @@ def test_irr_pwc_approx_refine_guidance_flag():
     m_ap = IRR_PWC(div_flow=0.05, approx_guidance=True)
     tr_ex = m_ap.apply(params, batch, training=True)
     tr_ar = m_ar.apply(params, batch, training=True)
+    # structure must match too — a zip over leaves alone would silently
+    # truncate if the flag added/dropped an output in training mode
+    assert (jax.tree_util.tree_structure(tr_ex)
+            == jax.tree_util.tree_structure(tr_ar))
     for a, b in zip(jax.tree_util.tree_leaves(tr_ex),
                     jax.tree_util.tree_leaves(tr_ar)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -11,16 +11,18 @@ checkpoint's smooth flows damp the mask-flip cascade, so the two
 implementations must agree to sub-0.1-px mean discrepancy and their
 EPE/F1-vs-ground-truth metrics must match to a fraction of a percent.
 
-The one harness subtlety (measured the hard way): the torch side must
-keep the reference ``rescale_flow``'s IN-PLACE mutation semantics
-(pwc_modules.py:70-82; the side effect at IRR_PWC.py:128-135 double-
-scales flow_cont, and our jax model replicates that quirk). A
-side-effect-free torch patch produces a DIFFERENT model: 3.34 px
-cross-impl EPE, which collapses to 0.007 px — the model's own
-input-perturbation chaos floor — with the faithful ``mul_`` patch
-(perf/ref_fidelity.py `_import_reference`). The analytic-mask
-diagnostic at the same checkpoint reads 1.6e-6 px: every non-mask op
-is at bit-level parity on trained weights.
+The one harness subtlety (measured the hard way): modern torch rejects
+the reference ``rescale_flow``'s in-place-on-chunk-views code under
+autograd, so the torch side (training AND eval) runs a ``mul_`` replica
+that keeps the IN-PLACE mutation semantics (pwc_modules.py:70-82; the
+side effect at IRR_PWC.py:128-135 double-scales flow_cont, and our jax
+model replicates that quirk). A side-effect-free patch produces a
+DIFFERENT model: 3.34 px cross-impl EPE, which collapses to 0.007 px —
+the model's own input-perturbation chaos floor — with the faithful
+replica. "Unpatched" in this gate means the chaotic warp MASK is left
+as-is on both sides. The analytic-mask diagnostic at the same
+checkpoint reads 1.6e-6 px: every non-mask op is at bit-level parity
+on trained weights.
 
 Gated behind IRR_TPU_SLOW_TESTS=1 (one CPU core: the torch training run
 dominates at roughly 7 s/step). The 150-step reference run this pins

@@ -50,6 +50,12 @@ def main():
                     choices=["bfloat16", "float32"])
     ap.add_argument("--grad", action="store_true")
     ap.add_argument("--div_flow", type=float, default=0.05)
+    ap.add_argument("--model", default="IRR_PWC",
+                    help="registry name of the model that made the dump")
+    ap.add_argument("--loss", default="MultiScaleEPE_PWC_Bi_Occ_upsample",
+                    help="registry name of the training loss (--grad)")
+    ap.add_argument("--num_iters", type=int, default=None,
+                    help="iteration count for *_irr models")
     args = ap.parse_args()
 
     import jax
@@ -70,7 +76,10 @@ def main():
     _scan("dumped batch", batch)
 
     ckpt_dir = args.ckpt or os.path.dirname(os.path.abspath(args.dump))
-    model = models.IRR_PWC(div_flow=args.div_flow)
+    model_kwargs = {"div_flow": args.div_flow}
+    if args.num_iters is not None:
+        model_kwargs["num_iters"] = args.num_iters
+    model = getattr(models, args.model)(**model_kwargs)
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
     saver = CheckpointSaver()
     ckpt_file = saver.resolve(ckpt_dir)
@@ -80,15 +89,19 @@ def main():
 
     batch = normalize_image_batch(batch)
     out = jax.jit(lambda p, b: model.apply(p, b, training=True))(params, batch)
-    # training=True returns per-level lists: scan coarsest -> finest
+    # training=True returns a dict of per-level (or per-iteration) tensor
+    # lists whose key names vary by family (IRR_PWC: flow/occ; FlowNet:
+    # flow2..flow6/occ2..occ6); scan every key's entries in order
     first_bad = None
-    for l, (fl, oc) in enumerate(zip(out["flow"], out["occ"])):
-        bad_f = _scan("L%d flow (%d tensors)" % (l, len(fl)), fl)
-        bad_o = _scan("L%d occ  (%d tensors)" % (l, len(oc)), oc)
-        if first_bad is None and (bad_f or bad_o):
-            first_bad = l
+    for key in out:
+        entries = out[key] if isinstance(out[key], (list, tuple)) else [out[key]]
+        for l, t in enumerate(entries):
+            n = len(t) if isinstance(t, (list, tuple)) else 1
+            bad = _scan("%s[%d] (%d tensors)" % (key, l, n), t)
+            if first_bad is None and bad:
+                first_bad = "%s[%d]" % (key, l)
     if first_bad is not None:
-        print("\n==> first non-finite level: L%d "
+        print("\n==> first non-finite output: %s "
               "(inputs and params scanned above)" % first_bad)
     else:
         print("\n==> forward is CLEAN at this checkpoint"
@@ -96,7 +109,7 @@ def main():
               " try --grad)")
 
     if args.grad:
-        loss_mod = losses.MultiScaleEPE_PWC_Bi_Occ_upsample(
+        loss_mod = getattr(losses, args.loss)(
             batch_size=batch["input1"].shape[0], div_flow=args.div_flow)
 
         def loss_of(p):

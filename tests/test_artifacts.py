@@ -90,6 +90,39 @@ def test_pwcnet_occ_bi_params_artifact_loads_and_runs():
     assert np.abs(flow).max() > 1e-3
 
 
+IRR_FLOWNET = os.path.join(
+    REPO, "experiments", "irr_flownet_r5", "checkpoint_best_params.npz")
+
+
+@pytest.mark.skipif(not os.path.isfile(IRR_FLOWNET),
+                    reason="artifact not present in this checkout")
+def test_irr_flownet_params_artifact_loads_and_runs():
+    from irr_tpu import models
+    from irr_tpu.runtime.checkpoint import CheckpointSaver
+
+    model = models.IRR_FlowNet(num_iters=2)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+    loaded = CheckpointSaver().restore(IRR_FLOWNET, params)
+    n_leaves = len(jax.tree_util.tree_leaves(params))
+    changed = sum(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(loaded)))
+    assert changed == n_leaves, (changed, n_leaves)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "input1": jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32)),
+        "input2": jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32)),
+    }
+    out = jax.jit(lambda p, d: model.apply(p, d, training=False))(
+        loaded, batch)
+    flow = np.asarray(out["flow"])
+    assert flow.shape == (1, 64, 96, 2)
+    assert np.isfinite(flow).all()
+    assert np.abs(flow).max() > 1e-3
+
+
 @pytest.mark.skipif(not os.path.isfile(IRR_PWC_STAGE1),
                     reason="artifact not present in this checkout")
 def test_irr_pwc_stage1_artifact_keys_complete():

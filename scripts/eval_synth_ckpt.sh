@@ -3,9 +3,9 @@
 # split (the parity role of reference scripts/validation/
 # IRR-PWC_flyingChairs.sh:19-31), in three model modes:
 #   exact           - the reference-exact path (the number for RESULTS.md)
-#   approx_guidance - quarter-density L5/L6 guidance warps (EPE cost of
-#                     the opt-in mode, VERDICT r2 #1c)
-#   grouped_towers  - grouped-conv towers (bit-exact in f32; in bf16 the
+#   approx          - quarter-density L5/L6 guidance warps (EPE cost of
+#                     the opt-in --model_approx_guidance mode)
+#   grouped         - grouped-conv towers (bit-exact in f32; in bf16 the
 #                     different accumulation order costs measured EPE —
 #                     RESULTS.md "Final evaluation")
 # MODES="exact approx4 approx_refine ..." overrides the mode list:
@@ -44,6 +44,10 @@ common=(--batch_size_val=4 --compute_dtype=bfloat16
 
 MODES=${MODES:-"exact approx grouped"}
 for mode in $MODES; do
+  case "$mode" in
+    exact|approx|approx4|approx_refine|grouped) ;;
+    *) echo "unknown mode '$mode' (valid: exact approx approx4 approx_refine grouped)"; exit 2 ;;
+  esac
   extra=()
   [ "$mode" = approx ] && extra=(--model_approx_guidance=True)
   [ "$mode" = approx4 ] && extra=(--model_approx_guidance=True

@@ -134,6 +134,37 @@ class TrainingEpoch:
             logging.warning("NaN batch dump failed: %s", e)
             return None
 
+    def _dump_nan_params(self, state, batch_idx):
+        """Opt-in (--nan_dump_params): also dump the live param tree next
+        to the batch dump.
+
+        Why: both r5 postmortems failed to REPRODUCE their NaN — the
+        nearest mid-epoch checkpoint (<=200 steps away) replays clean, so
+        the blowup lives in the exact in-flight params that no artifact
+        captured. By drain time the offending batch's own update was
+        skipped in-graph (params untouched) and exactly ONE later batch
+        has committed, so this dump is one update away from the tensors
+        that produced the NaN — close enough for a divergence-regime
+        replay. Off by default: it costs a params-sized sync + write,
+        and fires at most once per epoch.
+        """
+        save_dir = getattr(self._args, "save", None)
+        if not save_dir or not getattr(self._args, "nan_dump_params", False):
+            return None
+        from .checkpoint import _flatten
+        path = os.path.join(save_dir,
+                            "nan_dump_params_batch%04d.npz" % batch_idx)
+        try:
+            flat = {k: np.asarray(v)
+                    for k, v in _flatten(state.params).items()}
+            np.savez_compressed(path, **flat)
+            logging.warning("in-flight params (one update past the NaN "
+                            "forward) dumped to %s", path)
+            return path
+        except Exception as e:
+            logging.warning("NaN params dump failed: %s", e)
+            return None
+
     # a NaN batch that the in-graph guard contained (parallel/train.py:
     # the update was skipped, params untouched) is logged and survived;
     # more than this many in one epoch is divergence, not a transient
@@ -157,6 +188,11 @@ class TrainingEpoch:
                 if nan_dumps < self.MAX_NAN_DUMPS:
                     nan_dumps += 1
                     self._dump_nan_artifact(pending, loss_vals)
+                    if nan_dumps == 1:
+                        # `state` reads the loop's CURRENT value: the
+                        # offending update was skipped in-graph, one later
+                        # batch has committed (see _dump_nan_params)
+                        self._dump_nan_params(state, pending[3])
                 contained = loss_vals.get("skipped_nonfinite", 0.0) >= 1.0
                 assert contained, "training_loss is NaN"
                 nan_skips += 1

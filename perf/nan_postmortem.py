@@ -50,6 +50,10 @@ def main():
                     choices=["bfloat16", "float32"])
     ap.add_argument("--grad", action="store_true")
     ap.add_argument("--div_flow", type=float, default=0.05)
+    ap.add_argument("--params", default=None,
+                    help="nan_dump_params_*.npz from --nan_dump_params: "
+                         "replay against the captured in-flight params "
+                         "instead of the nearest checkpoint")
     ap.add_argument("--model", default="IRR_PWC",
                     help="registry name of the model that made the dump")
     ap.add_argument("--loss", default="MultiScaleEPE_PWC_Bi_Occ_upsample",
@@ -82,7 +86,7 @@ def main():
     model = getattr(models, args.model)(**model_kwargs)
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
     saver = CheckpointSaver()
-    ckpt_file = saver.resolve(ckpt_dir)
+    ckpt_file = args.params or saver.resolve(ckpt_dir)
     params = saver.restore(ckpt_file, params)
     print("checkpoint:", ckpt_file)
     _scan("params", params)

@@ -240,6 +240,52 @@ def test_training_contained_nan_skips_and_survives(tmp_path, caplog):
                 if f.startswith("nan_dump")]) == 1
 
 
+def test_nan_dump_params_flag(tmp_path):
+    """--nan_dump_params also captures the live param tree next to the
+    batch dump (one committed update past the offending forward), in the
+    checkpoint _flatten key format so nan_postmortem --params can load it
+    through CheckpointSaver.restore."""
+    from irr_tpu.runtime.loop import TrainingEpoch
+    from irr_tpu.runtime.checkpoint import CheckpointSaver
+
+    class _State:
+        params = {"stem": {"w": np.arange(4, dtype=np.float32)},
+                  "head": {"b": np.ones((2,), np.float32)}}
+
+    batches = [{"input1": np.zeros((2, 8, 8, 3), np.float32)}] * 3
+    seq = iter([(1.0, 0.0), (float("nan"), 1.0), (3.0, 0.0)])
+
+    def step_fn(state, batch):
+        tl, skipped = next(seq)
+        return state, {"total_loss": np.float32(tl),
+                       "skipped_nonfinite": np.float32(skipped)}
+
+    args = types.SimpleNamespace(profile=False, save=str(tmp_path),
+                                 save_every_batches=0,
+                                 nan_dump_params=True)
+    TrainingEpoch(args, step_fn, batches).run(state=_State())
+
+    pdumps = [f for f in os.listdir(str(tmp_path))
+              if f.startswith("nan_dump_params")]
+    assert pdumps == ["nan_dump_params_batch0001.npz"]
+    path = os.path.join(str(tmp_path), pdumps[0])
+    data = np.load(path)
+    np.testing.assert_array_equal(data["stem/w"],
+                                  np.arange(4, dtype=np.float32))
+    # loadable through the restore path (what --params uses)
+    restored = CheckpointSaver().restore(path, _State.params)
+    np.testing.assert_array_equal(restored["head"]["b"], np.ones(2))
+
+    # default OFF: no params dump
+    for f in os.listdir(str(tmp_path)):
+        os.unlink(os.path.join(str(tmp_path), f))
+    seq = iter([(1.0, 0.0), (float("nan"), 1.0), (3.0, 0.0)])
+    args.nan_dump_params = False
+    TrainingEpoch(args, step_fn, batches).run(state=_State())
+    assert not [f for f in os.listdir(str(tmp_path))
+                if f.startswith("nan_dump_params")]
+
+
 def test_training_persistent_nan_still_failfasts(tmp_path):
     """More contained skips than MAX_NONFINITE_SKIPS in one epoch is
     divergence — the fail-fast must still abort the run."""
